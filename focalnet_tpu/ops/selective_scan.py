@@ -1,0 +1,69 @@
+"""Backend dispatcher for the selective scan.
+
+Plays the role of the reference's forward-type / kernel-variant dispatch
+(``/root/reference/ITS/models/vmamba_layers.py:129-196,442-451`` selecting
+between ``selective_scan_cuda_{core,oflex,ndstate,nrow}``).  On TPU every
+variant collapses onto one implementation family:
+
+- ``"pallas"``  — the production TPU kernel (covers "core"/"oflex" semantics;
+                  fp32 output from bf16 inputs = oflex's ``out_float``).
+- ``"chunked"`` — pure-JAX blockwise scan (the kernel's math spec; also the
+                  CPU/interpret fallback, analogous to the reference's pure
+                  PyTorch fallback path).
+- ``"assoc"``   — ``lax.associative_scan`` oracle.
+- ``"ref"``     — sequential ``lax.scan`` oracle.
+
+The reference's "ndstate" specialization (N == 1, K3 in SURVEY.md §2.2) needs
+no special-casing here: pass ``A`` with a trailing state axis of 1 and
+``B``/``C`` as (batch, G, 1, L).  The "nrow" channel-blocking variant (K4,
+disabled in the reference build) corresponds to the kernel's channel-block
+grid dimension and is likewise free.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+from focalnet_tpu.ops.scan_chunked import selective_scan_chunked
+from focalnet_tpu.ops.scan_ref import selective_scan_assoc, selective_scan_ref
+
+BACKENDS = ("auto", "pallas", "chunked", "assoc", "ref")
+
+
+def _default_backend():
+    return "pallas" if jax.default_backend() == "tpu" else "chunked"
+
+
+def selective_scan(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D=None,
+    delta_bias=None,
+    delta_softplus=False,
+    out_dtype=None,
+    backend="auto",
+):
+    """Selective scan with automatic backend choice.
+
+    Shapes as in :mod:`focalnet_tpu.ops.scan_ref`.  ``out_dtype=None`` means
+    fp32 (the oflex contract the live model uses via forward_type "v4").
+    """
+    if backend == "auto":
+        backend = _default_backend()
+    kwargs = dict(
+        D=D, delta_bias=delta_bias, delta_softplus=delta_softplus,
+        out_dtype=out_dtype or jax.numpy.float32,
+    )
+    if backend == "pallas":
+        return selective_scan_pallas(u, delta, A, B, C, **kwargs)
+    if backend == "chunked":
+        return selective_scan_chunked(u, delta, A, B, C, **kwargs)
+    if backend == "assoc":
+        return selective_scan_assoc(u, delta, A, B, C, **kwargs)
+    if backend == "ref":
+        return selective_scan_ref(u, delta, A, B, C, **kwargs)
+    raise ValueError(f"unknown backend {backend!r}; expected one of {BACKENDS}")
