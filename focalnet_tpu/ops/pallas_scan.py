@@ -74,8 +74,9 @@ def _pair_scan_rev(a_next, g, col_ids, T):
     """
     shift = 1
     while shift < T:
-        a_sh = pltpu.roll(a_next, -shift, 1)
-        g_sh = pltpu.roll(g, -shift, 1)
+        # left-roll by `shift` == circular right-roll by T - shift (masked anyway)
+        a_sh = pltpu.roll(a_next, T - shift, 1)
+        g_sh = pltpu.roll(g, T - shift, 1)
         mask = col_ids < (T - shift)
         g = jnp.where(mask, g + a_next * g_sh, g)
         a_next = jnp.where(mask, a_next * a_sh, a_next)
@@ -185,7 +186,7 @@ def _bwd_kernel(
         e = Cm[n : n + 1, :] * dy
         # inject the carry from the chunk to the right at the last position
         e = jnp.where(last_col, e + g_state[:, n : n + 1], e)
-        a_next = jnp.where(col_ids == (T - 1), 0.0, pltpu.roll(a, -1, 1))
+        a_next = jnp.where(col_ids == (T - 1), 0.0, pltpu.roll(a, T - 1, 1))
         G = _pair_scan_rev(a_next, e, col_ids, T)            # (D_blk, T)
         # carry for the next (left) chunk: a_0 * G_0
         g_state[:, n : n + 1] = (a * G)[:, 0:1]
@@ -346,8 +347,8 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, res, dy):
     dA = jnp.sum(dA_p, axis=0).astype(A.dtype)
     dB = dB[..., :L].astype(B.dtype)
     dC = dC[..., :L].astype(C.dtype)
-    dD = jnp.sum(dD_p, axis=(0, 3)).astype(Dskip.dtype)
-    dbias = jnp.sum(dbias_p, axis=(0, 3)).astype(delta_bias.dtype)
+    dD = jnp.sum(dD_p, axis=(0, 3)).reshape(-1).astype(Dskip.dtype)
+    dbias = jnp.sum(dbias_p, axis=(0, 3)).reshape(-1).astype(delta_bias.dtype)
     return du, ddelta, dA, dB, dC, dD, dbias
 
 
