@@ -1,0 +1,324 @@
+"""SS2D — the 2-D selective-scan (VMamba S6) operator module, TPU-first.
+
+Behavioral spec: ``/root/reference/ITS/models/vmamba_layers.py:338-601``
+(SS2D: in_proj -> x/z split -> depthwise 3x3 -> SiLU -> 4-direction cross
+selective scan -> out_norm -> gate by z -> out_proj) and the orchestrator
+``cross_selective_scan`` (``:200-299``).
+
+TPU-native redesign rather than translation:
+
+- NHWC end to end; only the scan kernel boundary transposes to the
+  channels-on-sublanes / sequence-on-lanes layout the Pallas kernel wants.
+- The reference materializes the 4 directional copies FIRST and then runs 4
+  grouped-conv1d projections over them (``vmamba_layers.py:260-271``).  Here
+  the projections commute with the direction permutations (each direction is a
+  pure permutation of the flattened grid), so we run ONE large matmul per
+  projection on the un-permuted sequence — better MXU utilization, fewer
+  layout ops — and apply the permutations afterwards via
+  :func:`focalnet_tpu.ops.cross_scan.cross_scan`.
+- ``forward_type`` keeps the reference's tag grammar (suffixes ``no32``,
+  ``noz``, ``nozact``, ``none``, ``dwconv3``, ``softmax``, ``sigmoid``; base
+  tags ``v01/v1/v2/v3/v4``, ``vmamba_layers.py:409-451``).  On TPU every base
+  tag maps to the same kernel; the only live semantics are force_fp32 (v1/v2
+  true, v3/v4 false) and the out-norm choice.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from focalnet_tpu.models.initializers import (
+    a_log_init,
+    dt_bias_init,
+    torch_bias_init,
+    torch_default,
+    trunc_normal_02,
+    uniform_pm,
+)
+from focalnet_tpu.ops.cross_scan import cross_merge, cross_scan, cross_scan_1b1
+from focalnet_tpu.ops.selective_scan import selective_scan
+
+K_DIRS = 4
+
+_ACTS = {
+    "silu": nn.silu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "relu": nn.relu,
+    "sigmoid": nn.sigmoid,
+}
+
+
+def parse_forward_type(forward_type: str):
+    """Split a forward_type tag into (base, flags) — the reference's
+    ``checkpostfix`` chain (``vmamba_layers.py:409-440``)."""
+    ft = forward_type
+    flags = {}
+
+    def strip(tag):
+        nonlocal ft
+        if ft.endswith(tag):
+            ft = ft[: -len(tag)]
+            return True
+        return False
+
+    flags["disable_force32"] = strip("no32")
+    flags["disable_z"] = strip("noz")
+    flags["disable_z_act"] = strip("nozact")
+    if strip("none"):
+        flags["out_norm"] = "none"
+    elif strip("dwconv3"):
+        flags["out_norm"] = "dwconv3"
+    elif strip("softmax"):
+        flags["out_norm"] = "softmax"
+    elif strip("sigmoid"):
+        flags["out_norm"] = "sigmoid"
+    else:
+        flags["out_norm"] = "ln"
+    # force_fp32 per base tag (v01/v1/v2 force fp32 unless no32; v3/v4 don't)
+    flags["force_fp32"] = ft in ("v01", "v1", "v2") and not flags["disable_force32"]
+    flags["base"] = ft
+    return flags
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics used by VSSBlock)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """2-layer MLP with GELU (``vmamba_layers.py:316-334``)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    act: str = "gelu"
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        out = self.out_features or x.shape[-1]
+        dense = lambda f, name: nn.Dense(
+            f, kernel_init=trunc_normal_02, bias_init=nn.initializers.zeros,
+            name=name,
+        )
+        x = dense(self.hidden_features, "fc1")(x)
+        x = _ACTS[self.act](x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = dense(out, "fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class SS2D(nn.Module):
+    """2-D selective scan operator on NHWC feature maps.
+
+    Defaults mirror the live model's construction
+    (``vmamba_layers.py:806-834``): d_state=16, ssm_ratio=2.0,
+    dt_rank="auto" (ceil(d_model/16)), d_conv=3, conv_bias=True,
+    forward_type "v4".
+    """
+
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    act: str = "silu"
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    bias: bool = False
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    initialize: str = "v0"
+    forward_type: str = "v4"
+    scan_backend: str = "auto"
+    scan_chunk: int = 512
+
+    @property
+    def d_inner(self):
+        return int(self.ssm_ratio * self.d_model)
+
+    @property
+    def rank(self):
+        return (
+            math.ceil(self.d_model / 16)
+            if self.dt_rank == "auto"
+            else self.dt_rank
+        )
+
+    def _ssm_params(self):
+        """x_proj / dt_proj / A_log / D parameter stacks with reference init
+        laws (v0) or the simple v1/v2 debug inits (``vmamba_layers.py:483-508``)."""
+        K, D, N, R = K_DIRS, self.d_inner, self.d_state, self.rank
+        if self.initialize == "v0":
+            x_proj = self.param(
+                "x_proj_weight", uniform_pm(1.0 / math.sqrt(D)), (K, R + 2 * N, D)
+            )
+            dt_w = self.param(
+                "dt_projs_weight",
+                uniform_pm(self.dt_scale * R ** -0.5),
+                (K, D, R),
+            )
+            dt_b = self.param(
+                "dt_projs_bias",
+                dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+                (K, D),
+            )
+            A_logs = self.param("A_logs", a_log_init(N, K), (K * D, N))
+            Ds = self.param("Ds", nn.initializers.ones, (K * D,))
+        elif self.initialize == "v1":
+            x_proj = self.param(
+                "x_proj_weight", uniform_pm(1.0 / math.sqrt(D)), (K, R + 2 * N, D)
+            )
+            dt_w = self.param(
+                "dt_projs_weight", nn.initializers.normal(1.0), (K, D, R)
+            )
+            dt_b = self.param("dt_projs_bias", nn.initializers.normal(1.0), (K, D))
+            A_logs = self.param("A_logs", nn.initializers.normal(1.0), (K * D, N))
+            Ds = self.param("Ds", nn.initializers.ones, (K * D,))
+        else:  # v2
+            x_proj = self.param(
+                "x_proj_weight", uniform_pm(1.0 / math.sqrt(D)), (K, R + 2 * N, D)
+            )
+            dt_w = self.param(
+                "dt_projs_weight", nn.initializers.uniform(0.1), (K, D, R)
+            )
+            dt_b = self.param("dt_projs_bias", nn.initializers.uniform(0.1), (K, D))
+            A_logs = self.param("A_logs", nn.initializers.zeros, (K * D, N))
+            Ds = self.param("Ds", nn.initializers.ones, (K * D,))
+        return x_proj, dt_w, dt_b, A_logs, Ds
+
+    def _out_norm(self, y, flags):
+        """Apply the tag-selected output normalization to (B, H, W, d_inner)."""
+        kind = flags["out_norm"]
+        if kind == "none":
+            return y
+        if kind == "ln":
+            return nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
+        if kind == "dwconv3":
+            return nn.Conv(
+                self.d_inner, (3, 3), padding=[(1, 1), (1, 1)],
+                feature_group_count=self.d_inner, use_bias=False,
+                kernel_init=torch_default, name="out_norm",
+            )(y)
+        if kind == "softmax":
+            B, H, W, C = y.shape
+            return jax.nn.softmax(y.reshape(B, H * W, C), axis=1).reshape(y.shape)
+        if kind == "sigmoid":
+            return nn.sigmoid(y)
+        raise ValueError(kind)
+
+    def _core(self, x, flags):
+        """4-direction cross selective scan on (B, H, W, d_inner).
+
+        Equivalent to ``cross_selective_scan`` (``vmamba_layers.py:200-299``)
+        with the projection/permutation order swapped (see module docstring).
+        """
+        B, H, W, D = x.shape
+        K, N, R = K_DIRS, self.d_state, self.rank
+        L = H * W
+        x_proj, dt_w, dt_b, A_logs, Ds = self._ssm_params()
+
+        flat = x.reshape(B, L, D)
+        # one fused matmul for all K directions' (dt, B, C) projections
+        x_dbl = jnp.einsum(
+            "bld,kcd->bklc", flat, x_proj,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts = jnp.einsum(
+            "bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+        # apply direction permutations to projections AND to u
+        xs = cross_scan(x)  # (B, K, L, D)
+
+        def per_dir(t):  # (B, K, L, C): stream k rastered in direction k
+            return cross_scan_1b1(t.reshape(B, K, H, W, t.shape[-1]))
+
+        dts = per_dir(dts)                       # (B, K, L, D)
+        Bs = per_dir(Bs)                         # (B, K, L, N)
+        Cs = per_dir(Cs)                         # (B, K, L, N)
+
+        # kernel layout: channels on sublanes, sequence on lanes
+        u = jnp.swapaxes(xs, 2, 3).reshape(B, K * D, L)
+        delta = jnp.swapaxes(dts, 2, 3).reshape(B, K * D, L)
+        Bm = jnp.swapaxes(Bs, 2, 3)              # (B, K, N, L)
+        Cm = jnp.swapaxes(Cs, 2, 3)
+
+        A = -jnp.exp(A_logs.astype(jnp.float32))
+        if flags["force_fp32"]:
+            u, delta = u.astype(jnp.float32), delta.astype(jnp.float32)
+            Bm, Cm = Bm.astype(jnp.float32), Cm.astype(jnp.float32)
+
+        ys = selective_scan(
+            u, delta, A, Bm, Cm,
+            D=Ds.astype(jnp.float32),
+            delta_bias=dt_b.reshape(-1).astype(jnp.float32),
+            delta_softplus=True,
+            out_dtype=jnp.float32,
+            backend=self.scan_backend,
+        )  # (B, K*D, L) fp32
+
+        ys = jnp.swapaxes(ys.reshape(B, K, D, L), 2, 3)  # (B, K, L, D)
+        y = cross_merge(ys, H, W)                        # (B, H, W, D)
+        y = self._out_norm(y, flags)
+        return y.astype(x.dtype)
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        """x: (B, H, W, d_model) -> (B, H, W, d_model)."""
+        flags = parse_forward_type(self.forward_type)
+        d_inner = self.d_inner
+        d_proj = d_inner if flags["disable_z"] else 2 * d_inner
+        act = _ACTS[self.act]
+
+        h = nn.Dense(
+            d_proj, use_bias=self.bias,
+            kernel_init=trunc_normal_02, bias_init=nn.initializers.zeros,
+            name="in_proj",
+        )(x)
+        if not flags["disable_z"]:
+            h, z = jnp.split(h, 2, axis=-1)
+            if not flags["disable_z_act"]:
+                z = act(z)
+        if self.d_conv > 1:
+            pad = (self.d_conv - 1) // 2
+            h = nn.Conv(
+                d_inner, (self.d_conv, self.d_conv),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=d_inner, use_bias=self.conv_bias,
+                kernel_init=torch_default,
+                bias_init=torch_bias_init(self.d_conv * self.d_conv),
+                name="conv2d",
+            )(h)
+        h = act(h)
+
+        y = self._core(h, flags)
+
+        if not flags["disable_z"]:
+            y = y * z
+        out = nn.Dense(
+            self.d_model, use_bias=self.bias,
+            kernel_init=trunc_normal_02, bias_init=nn.initializers.zeros,
+            name="out_proj",
+        )(y)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
