@@ -1,0 +1,18 @@
+"""Eval protocol: /32 reflect pad, PSNR (both formulas), pooled SSIM."""
+
+from focalnet_tpu.evaluation.evaluator import evaluate, validate
+from focalnet_tpu.evaluation.metrics import (
+    adaptive_avg_pool,
+    eval_ssim,
+    pad_to_multiple,
+    psnr_mse,
+    psnr_skimage,
+    save_image,
+    ssim,
+)
+
+__all__ = [
+    "evaluate", "validate",
+    "pad_to_multiple", "psnr_mse", "psnr_skimage",
+    "adaptive_avg_pool", "ssim", "eval_ssim", "save_image",
+]

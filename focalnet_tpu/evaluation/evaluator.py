@@ -1,0 +1,92 @@
+"""Validation / test-eval loops (``/root/reference/ITS/valid.py``, ``ITS/eval.py``).
+
+Print formats intentionally match the reference byte-for-byte where the
+downstream log scraper depends on them (``ITS/plot_logs.py:27-37`` regexes:
+"Average PSNR %.2f dB", "The average PSNR is %.2f dB", ...).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from focalnet_tpu.data import EvalLoader
+from focalnet_tpu.evaluation.metrics import (
+    eval_ssim,
+    pad_to_multiple,
+    psnr_mse,
+    psnr_skimage,
+    save_image,
+)
+from focalnet_tpu.utils import Adder
+
+
+def _make_forward(model, params):
+    """jit-per-shape full-resolution forward: (1, H, W, 3) -> output index [2]."""
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(params, x)[2]
+
+    return fwd
+
+
+def validate(model, params, data_dir: str, factor: int = 32) -> float:
+    """``_valid`` (``valid.py:10-46``): mean skimage-PSNR over the test split
+    at full resolution with /32 reflect padding."""
+    loader = EvalLoader(data_dir, "test")
+    fwd = _make_forward(model, params)
+    psnr_adder = Adder()
+    print("Start Validation...")
+    for hazy, gt, _ in loader:
+        padded, (h, w) = pad_to_multiple(hazy, factor)
+        pred = np.asarray(fwd(padded))[:, :h, :w]
+        pred = np.clip(pred, 0.0, 1.0)
+        psnr_adder(psnr_skimage(pred[0], gt[0]))
+    return psnr_adder.average()
+
+
+def evaluate(model, params, data_dir: str, result_dir: Optional[str] = None,
+             save_images: bool = False, factor: int = 32) -> dict:
+    """``_eval`` (``eval.py:15-78``): both PSNR formulas, pooled SSIM,
+    per-image latency, optional image dump with the +0.5/255 offset."""
+    loader = EvalLoader(data_dir, "test")
+    fwd = _make_forward(model, params)
+    time_adder, psnr_adder, ssim_adder = Adder(), Adder(), Adder()
+
+    for iter_idx, (hazy, gt, name) in enumerate(loader):
+        padded, (h, w) = pad_to_multiple(hazy, factor)
+        tm = time.time()
+        pred = np.asarray(fwd(padded))  # np.asarray forces device sync
+        elapsed = time.time() - tm
+        time_adder(elapsed)
+
+        H, W = padded.shape[1], padded.shape[2]
+        pred = np.clip(pred[:, :h, :w], 0.0, 1.0)
+
+        psnr_val = psnr_mse(pred, gt)
+        ssim_val = float(eval_ssim(pred, gt, (H, W))[0])
+        print("%d iter PSNR_dehazing: %.2f ssim: %f" % (iter_idx + 1, psnr_val, ssim_val))
+        ssim_adder(ssim_val)
+
+        if save_images and result_dir:
+            os.makedirs(result_dir, exist_ok=True)
+            save_image(pred[0], os.path.join(result_dir, name))
+
+        psnr_mimo = psnr_skimage(pred, gt)
+        psnr_adder(psnr_val)
+        print("%d iter PSNR: %.2f time: %f" % (iter_idx + 1, psnr_mimo, elapsed))
+
+    print("==========================================================")
+    print("The average PSNR is %.2f dB" % psnr_adder.average())
+    print("The average SSIM is %.5f dB" % ssim_adder.average())
+    print("Average time: %f" % time_adder.average())
+    return {
+        "psnr": psnr_adder.average(),
+        "ssim": ssim_adder.average(),
+        "time": time_adder.average(),
+    }

@@ -1,0 +1,123 @@
+"""CLI entry point (``/root/reference/ITS/main.py``).
+
+Usage:
+    python -m focalnet_tpu.main --mode train --data_dir dataset/ITS
+    python -m focalnet_tpu.main --mode test --test_model results/weights/Best
+
+Flags mirror the reference's argparse surface (``main.py:62-87``) plus
+``--preset`` (replacing the reference's edit-and-snapshot variant workflow,
+SURVEY.md §5.6) and TPU-specific mesh options.  The reference's "code
+snapshotting" (``main.py:93-102``) is replaced by recording the full config as
+JSON next to the results — reproducible without copying sources.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import random
+
+import numpy as np
+
+
+def main(args):
+    # seeding (``main.py:11-14``): python/numpy seeds + jax PRNG from cfg.seed
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import jax
+
+    # A stale JAX_PLATFORMS (e.g. a TPU-plugin alias that failed to register
+    # in this process) would otherwise abort; fall back to auto-selection.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"warning: backend init failed ({e}); falling back to auto")
+        jax.config.update("jax_platforms", "")
+    import jax.numpy as jnp
+
+    from focalnet_tpu.configs import PRESETS, TrainConfig
+    from focalnet_tpu.models import build_net
+    from focalnet_tpu.utils import model_flops, scan_flops
+
+    model = build_net(args.preset)
+    cfg = PRESETS[args.preset]
+
+    train_cfg = TrainConfig(
+        data_dir=args.data_dir,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        num_epoch=args.num_epoch,
+        print_freq=args.print_freq,
+        num_worker=args.num_worker,
+        save_freq=args.save_freq,
+        valid_freq=args.valid_freq,
+        seed=args.seed,
+        model_save_dir=args.model_save_dir,
+    )
+
+    os.makedirs(args.model_save_dir, exist_ok=True)
+    os.makedirs(args.result_dir, exist_ok=True)
+    # config snapshot (replaces the cp-based code snapshot, ``main.py:93-102``)
+    with open(os.path.join(args.model_save_dir, "config.json"), "w") as f:
+        json.dump(
+            {"model": dataclasses.asdict(cfg),
+             "train": dataclasses.asdict(train_cfg)},
+            f, indent=2,
+        )
+
+    if args.flops_report:
+        # params + GFLOPs at 256^2 (``main.py:37-50``)
+        x = jnp.zeros((1, 256, 256, 3))
+        params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        flops = model_flops(lambda p, x: model.apply(p, x), params, x)
+        print(f"params: {n_params/1e6:.3f}M")
+        print(f"xla flops @256^2: {flops/1e9:.2f} GFLOPs (+ scan regions)")
+
+    if args.mode == "train":
+        from focalnet_tpu.train import train
+
+        train(model, cfg, train_cfg, resume=args.resume,
+              log_file=os.path.join(args.model_save_dir, "train.log"))
+    elif args.mode == "test":
+        from focalnet_tpu.evaluation import evaluate
+        from focalnet_tpu.train import load_params
+
+        params = load_params(args.test_model)
+        evaluate(model, params, args.data_dir,
+                 result_dir=args.result_dir, save_images=args.save_image)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="focalnet_tpu")
+    p.add_argument("--preset", type=str, default="1mlp_g2",
+                   choices=["baseline", "1mlp", "1mlp_g2", "1mlp_g4"])
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "test"])
+    p.add_argument("--data_dir", type=str, default="dataset/ITS")
+    # train (defaults = ``main.py:71-78``)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--num_epoch", type=int, default=300)
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--num_worker", type=int, default=8)
+    p.add_argument("--save_freq", type=int, default=10)
+    p.add_argument("--valid_freq", type=int, default=10)
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--seed", type=int, default=1234)
+    # test
+    p.add_argument("--test_model", type=str, default="results/weights/Best")
+    p.add_argument("--save_image", action="store_true")
+    # dirs
+    p.add_argument("--model_save_dir", type=str, default="results/weights")
+    p.add_argument("--result_dir", type=str, default="results/images")
+    p.add_argument("--flops_report", action="store_true")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,15 @@
+"""Mesh/sharding utilities and the sequence-sharded multi-chip scan."""
+
+from focalnet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from focalnet_tpu.parallel.seq_scan import selective_scan_seq_sharded
+
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate",
+    "selective_scan_seq_sharded",
+]

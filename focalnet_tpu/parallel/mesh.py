@@ -1,0 +1,47 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has no distributed code at all (SURVEY.md §2.3) — this module
+is the TPU-native parallelism layer built the JAX way: a ``jax.sharding.Mesh``
+with named axes, ``NamedSharding`` annotations, and XLA-inserted collectives
+over ICI.  Data parallelism = shard the batch axis over ``data``; gradient
+all-reduce falls out of jit's partitioner (no hand-written NCCL analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axes: Tuple[str, ...] = ("data",)) -> Mesh:
+    """Build a mesh over all visible devices.  ``shape=None`` puts every
+    device on the first axis."""
+    devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the batch dim."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

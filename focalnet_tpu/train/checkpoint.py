@@ -1,0 +1,67 @@
+"""Orbax checkpointing with the reference's rolling/periodic/best/final trio.
+
+Reference behavior (``/root/reference/ITS/train.py:110-131``, SURVEY.md §5.4):
+
+- ``model.pkl``   — rolling {model, optimizer, epoch}, overwritten every epoch
+- ``model_N.pkl`` — model-only snapshot every ``save_freq`` epochs
+- ``Best.pkl``    — model-only, written when validation PSNR improves
+- ``Final.pkl``   — model-only, written at the end
+
+Here each name becomes an Orbax directory under ``save_dir``.  Orbax is the
+TPU-native choice: sharded arrays save/restore without host gathering, and the
+rolling checkpoint gives the same manual ``--resume`` crash recovery
+(``ITS/main.py:79``, ``train.py:25-31``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.save_dir, name)
+
+    def save_rolling(self, params: Any, opt_state: Any, epoch: int) -> None:
+        """model.pkl equivalent: full train state, overwritten per epoch."""
+        self._ckpt.save(
+            self._path("model"),
+            {"params": params, "opt_state": opt_state, "epoch": epoch},
+            force=True,
+        )
+
+    def save_snapshot(self, params: Any, epoch: int) -> None:
+        """model_N.pkl equivalent (every save_freq epochs)."""
+        self._ckpt.save(self._path(f"model_{epoch}"), {"params": params}, force=True)
+
+    def save_best(self, params: Any) -> None:
+        self._ckpt.save(self._path("Best"), {"params": params}, force=True)
+
+    def save_final(self, params: Any) -> None:
+        self._ckpt.save(self._path("Final"), {"params": params}, force=True)
+
+    def restore(self, name: str = "model", template: Optional[Any] = None) -> Any:
+        """Restore a checkpoint by name.  ``template`` (a matching pytree of
+        arrays) restores with correct dtypes/shardings when given."""
+        path = self._path(name)
+        if template is not None:
+            return self._ckpt.restore(path, item=template)
+        return self._ckpt.restore(path)
+
+    def has(self, name: str = "model") -> bool:
+        return os.path.isdir(self._path(name))
+
+
+def load_params(path: str) -> Any:
+    """Load a model-only checkpoint ({"params": ...}) from an Orbax dir —
+    the ``--test_model`` entry point (``ITS/eval.py:16-17``)."""
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))["params"]

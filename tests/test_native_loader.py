@@ -1,0 +1,86 @@
+"""Native C++ data loader tests: decode parity vs PIL, batch augment
+correctness, and TrainLoader backend equivalence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from focalnet_tpu.data import TrainLoader, make_synthetic_dataset
+from focalnet_tpu.data.native_loader import (
+    decode_image,
+    load_pair_batch,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native loader not built"
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("reside")
+    return make_synthetic_dataset(str(root), n_train=6, n_test=2, hw=(64, 80))
+
+
+def test_native_decode_matches_pil(dataset):
+    from focalnet_tpu.data.reside import _load_image
+
+    d = os.path.join(dataset, "train", "hazy")
+    for name in sorted(os.listdir(d))[:3]:
+        path = os.path.join(d, name)
+        got = decode_image(path)
+        want = _load_image(path)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_native_batch_shapes_and_range(dataset):
+    tdir = os.path.join(dataset, "train")
+    names = sorted(os.listdir(os.path.join(tdir, "hazy")))[:4]
+    hazy_paths = [os.path.join(tdir, "hazy", n) for n in names]
+    gt_paths = [os.path.join(tdir, "gt", n.split("_")[0] + ".png") for n in names]
+    seeds = np.arange(4, dtype=np.uint64)
+    h, g = load_pair_batch(hazy_paths, gt_paths, crop=32, seeds=seeds)
+    assert h.shape == (4, 32, 32, 3) and g.shape == (4, 32, 32, 3)
+    assert h.dtype == np.float32
+    assert 0.0 <= h.min() and h.max() <= 1.0
+    # paired augmentation: hazy and gt see the SAME crop/flip, so the
+    # synthetic haze relation I = J*t + A*(1-t) (monotone in J) must hold
+    # pixelwise: correlation between hazy and gt crops is strongly positive
+    for i in range(4):
+        c = np.corrcoef(h[i].ravel(), g[i].ravel())[0, 1]
+        assert c > 0.8, c
+
+
+def test_native_batch_deterministic(dataset):
+    tdir = os.path.join(dataset, "train")
+    names = sorted(os.listdir(os.path.join(tdir, "hazy")))[:2]
+    hp = [os.path.join(tdir, "hazy", n) for n in names]
+    gp = [os.path.join(tdir, "gt", n.split("_")[0] + ".png") for n in names]
+    seeds = np.asarray([7, 9], np.uint64)
+    a = load_pair_batch(hp, gp, 32, seeds)
+    b = load_pair_batch(hp, gp, 32, seeds)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    # different seeds -> different crops (with overwhelming probability)
+    c = load_pair_batch(hp, gp, 32, np.asarray([1000, 2000], np.uint64))
+    assert not np.array_equal(a[0], c[0])
+
+
+def test_trainloader_native_backend(dataset):
+    loader = TrainLoader(dataset, batch_size=2, num_workers=2, crop=32,
+                         seed=0, backend="native")
+    assert loader.backend == "native"
+    batches = list(loader.epoch())
+    assert len(batches) == len(loader)
+    for h, g in batches:
+        assert h.shape == (2, 32, 32, 3)
+        assert np.isfinite(h).all() and 0 <= h.min() and h.max() <= 1
+
+
+def test_native_missing_file_raises(dataset):
+    with pytest.raises(IOError):
+        load_pair_batch(["/nonexistent.png"], ["/nonexistent.png"], 16,
+                        np.asarray([0], np.uint64))
