@@ -15,6 +15,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from focalnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from focalnet_tpu.models import build_net
 
     model = build_net("1mlp_g2")

@@ -29,6 +29,9 @@ def main(args):
 
     import jax
 
+    from focalnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     # A stale JAX_PLATFORMS (e.g. a TPU-plugin alias that failed to register
     # in this process) would otherwise abort; fall back to auto-selection.
     try:

@@ -3,32 +3,34 @@
 TPU-native replacement for the reference's CUDA extension
 (``/root/reference/kernels/selective_scan/csrc/selective_scan/cusoflex/`` —
 chunked forward with a carried prefix, reverse-chunk backward with
-recomputation from saved chunk states; SURVEY.md §2.2 K1–K4).  Everything is
+recomputation from saved chunk states; SURVEY.md §2.2 K1-K4).  Everything is
 re-derived for the TPU memory/compute model rather than translated:
 
 - The sequence L is processed in lane-aligned chunks of T (a grid dimension,
-  innermost), with the running state h (D_blk, N) carried in a VMEM scratch
-  across grid steps — the analogue of the CUDA kernel's cross-chunk prefix
-  handoff through shared memory.
-- Within a chunk, the first-order recurrence
-  ``h_i = a_i h_{i-1} + b_i``, ``(a_i, b_i) = (exp(dt_i A), dt_i B_i u_i)``
-  is computed by an O(log T) Hillis–Steele scan over the pair monoid using
-  lane rotations (``pltpu.roll``) + masking on the VPU.  All ``a`` values lie
-  in (0, 1] (A < 0), so the scan is numerically stable with no rescaling
-  tricks — the same property the CUDA CUB BlockScan relies on.
+  innermost), with the running state h carried in a VMEM scratch across grid
+  steps — the analogue of the CUDA kernel's cross-chunk prefix handoff
+  through shared memory.
+- The N state dimension is VECTORIZED into sublane rows: the kernel works on
+  (NR, T) tiles with NR = N * D_blk rows in n-major order (row r = n*D_blk+d),
+  so the whole recurrence for every state runs as ONE O(log T) Hillis-Steele
+  pair scan over the monoid ``(a2, b2) ∘ (a1, b1) = (a1*a2, a1*b2 + b2)``
+  using lane rotations + masking on the VPU.  (An earlier revision looped
+  over N in Python, unrolling 16 separate scans — 16x the Mosaic program
+  size and ~3 min of compile per shape.)
+- Channels are additionally blocked (D_blk, a grid dimension) to bound VMEM.
 - State and accumulation are fp32 regardless of input dtype, and the output
   may be fp32 from bf16 inputs (the "oflex" ``out_float`` contract,
   ``cusoflex/selective_scan_oflex.cpp:164,234-240``).
-- The backward pass runs the chunk grid in REVERSE (via index maps), carries
-  the adjoint state ``G`` in scratch, and rematerializes per-position h from
-  the per-chunk entering states saved by the forward — the TPU version of the
+- The backward runs the chunk grid in REVERSE (via index maps), carries the
+  adjoint state in scratch, and rematerializes per-position h from the
+  per-chunk entering states saved by the forward — the TPU version of the
   CUDA backward's reverse-chunk loop + BlockReverseScan.
 
 Layout: channels on sublanes, sequence on lanes —
     u, delta, y : (B, G, D, L)      A: (G, D, N)     B, C: (B, G, N, L)
 
-N (d_state) is unrolled as a small python loop (N=16 for the live model;
-N=1 recovers the reference's "ndstate" specialization K3 for free).
+N=1 recovers the reference's "ndstate" specialization (K3) for free; the
+D-block grid dimension is the "nrow" channel blocking (K4) for free.
 """
 
 from __future__ import annotations
@@ -42,6 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEF_CHUNK = 512
+# NR = N * D_blk row cap: the bwd kernel keeps ~10 live (NR, T) fp32 tiles
+# (a/b scans, h, h_prev, adjoint G, ...) and must fit the 16MB VMEM budget
+MAX_ROWS = 512
 
 
 def _interpret():
@@ -52,8 +57,7 @@ def _interpret():
 def _pair_scan_fwd(a, b, col_ids, T):
     """Inclusive scan of (a, b) pairs along lanes (axis 1), left-to-right.
 
-    Returns (a_scan, b_scan): a_scan_i = prod_{j<=i} a_j,
-    b_scan_i = sum_{j<=i} (prod_{j<k<=i} a_k) b_j.
+    a_scan_i = prod_{j<=i} a_j;  b_scan_i = sum_{j<=i} (prod_{j<k<=i} a_k) b_j.
     """
     shift = 1
     while shift < T:
@@ -67,14 +71,10 @@ def _pair_scan_fwd(a, b, col_ids, T):
 
 
 def _pair_scan_rev(a_next, g, col_ids, T):
-    """Inclusive right-to-left scan: g_i = e_i + a_next_i * g_{i+1} composed.
-
-    a_next_i multiplies the incoming suffix from position i+1; positions
-    rolled in from beyond the chunk are masked out.
-    """
+    """Inclusive right-to-left scan: G_i = e_i + a_next_i * G_{i+1} composed."""
     shift = 1
     while shift < T:
-        # left-roll by `shift` == circular right-roll by T - shift (masked anyway)
+        # left-roll by `shift` == circular right-roll by T - shift (masked)
         a_sh = pltpu.roll(a_next, T - shift, 1)
         g_sh = pltpu.roll(g, T - shift, 1)
         mask = col_ids < (T - shift)
@@ -84,8 +84,45 @@ def _pair_scan_rev(a_next, g, col_ids, T):
     return g
 
 
+def _rows(x, N):
+    """(R, T) -> n-major (N*R, T) by stacking N copies (row r = n*R + d)."""
+    return jnp.concatenate([x] * N, axis=0) if N > 1 else x
+
+
+def _rep_rows(x, D_blk):
+    """(N, T) -> n-major (N*D_blk, T): each row repeated D_blk times.
+
+    NOTE: pltpu.repeat has TILE semantics (whole-array copies, n-minor), so
+    the element-repeat is built as N broadcasts + one concat.
+    """
+    if D_blk == 1:
+        return x
+    N = x.shape[0]
+    pieces = [
+        jnp.broadcast_to(x[n : n + 1], (D_blk, x.shape[1])) for n in range(N)
+    ]
+    return jnp.concatenate(pieces, axis=0) if N > 1 else pieces[0]
+
+
+def _block_sum(x, N, D_blk):
+    """n-major (N*D_blk, T) -> (D_blk, T): sum over the N row blocks."""
+    out = x[0:D_blk]
+    for n in range(1, N):
+        out = out + x[n * D_blk : (n + 1) * D_blk]
+    return out
+
+
+def _row_block_sums(x, N, D_blk):
+    """n-major (N*D_blk, T) -> (N, T): sum each row block over its D_blk rows."""
+    pieces = [
+        jnp.sum(x[n * D_blk : (n + 1) * D_blk], axis=0, keepdims=True)
+        for n in range(N)
+    ]
+    return jnp.concatenate(pieces, axis=0) if N > 1 else pieces[0]
+
+
 def _compute_dt(delta_ref, bias_ref, softplus):
-    dt = delta_ref[0, 0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    dt = delta_ref[0, 0].astype(jnp.float32) + bias_ref[0, 0].astype(jnp.float32)
     if softplus:
         dt = jax.nn.softplus(dt)
     return dt
@@ -95,7 +132,7 @@ def _fwd_kernel(
     u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref,
     y_ref, hchk_ref,
     h_state,
-    *, N, T, softplus, has_D,
+    *, N, T, D_blk, softplus, has_D,
 ):
     l = pl.program_id(3)
 
@@ -103,42 +140,40 @@ def _fwd_kernel(
     def _():
         h_state[...] = jnp.zeros(h_state.shape, h_state.dtype)
 
-    # save the state *entering* this chunk (for backward rematerialization)
-    hchk_ref[0, 0, 0] = h_state[...]
+    # state entering this chunk (for backward rematerialization)
+    hchk_ref[0, 0, 0, 0] = h_state[...]
 
     dt = _compute_dt(delta_ref, bias_ref, softplus)          # (D_blk, T)
     u = u_ref[0, 0].astype(jnp.float32)                      # (D_blk, T)
-    du = dt * u
-    A = A_ref[0].astype(jnp.float32)                         # (D_blk, N)
+    A_col = A_ref[0, 0].astype(jnp.float32)                 # (NR, 1) n-major
     Bm = B_ref[0, 0].astype(jnp.float32)                     # (N, T)
     Cm = C_ref[0, 0].astype(jnp.float32)                     # (N, T)
 
-    D_blk = u.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (D_blk, T), 1)
+    NR = N * D_blk
+    dt_rep = _rows(dt, N)                                    # (NR, T)
+    du_rep = _rows(dt * u, N)
+    a = jnp.exp(dt_rep * A_col)                              # (NR, T)
+    b = du_rep * _rep_rows(Bm, D_blk)
 
-    y_acc = jnp.zeros((D_blk, T), jnp.float32)
-    for n in range(N):
-        a = jnp.exp(dt * A[:, n : n + 1])                    # (D_blk, T)
-        b = du * Bm[n : n + 1, :]                            # (D_blk, T)
-        a_sc, b_sc = _pair_scan_fwd(a, b, col_ids, T)
-        h = b_sc + a_sc * h_state[:, n : n + 1]
-        y_acc = y_acc + h * Cm[n : n + 1, :]
-        h_state[:, n : n + 1] = h[:, T - 1 : T]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (NR, T), 1)
+    a_sc, b_sc = _pair_scan_fwd(a, b, col_ids, T)
+    h = b_sc + a_sc * h_state[...]                           # (NR, T)
+    h_state[...] = h[:, T - 1 : T]
 
+    y = _block_sum(h * _rep_rows(Cm, D_blk), N, D_blk)       # (D_blk, T)
     if has_D:
-        y_acc = y_acc + D_ref[0].astype(jnp.float32) * u
-    y_ref[0, 0] = y_acc.astype(y_ref.dtype)
+        y = y + D_ref[0, 0].astype(jnp.float32) * u
+    y_ref[0, 0] = y.astype(y_ref.dtype)
 
 
 def _bwd_kernel(
     u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, hchk_ref, dy_ref,
     du_ref, ddelta_ref, dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref,
     g_state,
-    *, N, T, softplus, has_D,
+    *, N, T, D_blk, softplus, has_D,
 ):
-    # NOTE: index maps traverse chunks in reverse: grid step l handles chunk
-    # (n_chunks - 1 - l).  g_state carries a_0^{(c+1)} * G_0^{(c+1)} — the
-    # adjoint flowing from the chunk to the right.
+    # index maps traverse chunks in reverse: grid step l handles chunk
+    # (n_chunks - 1 - l); g_state carries a_0^{(c+1)} * G_0^{(c+1)}.
     l = pl.program_id(3)
 
     @pl.when(l == 0)
@@ -148,83 +183,76 @@ def _bwd_kernel(
         dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
         dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
-    dt_pre = delta_ref[0, 0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
-    if softplus:
-        dt = jax.nn.softplus(dt_pre)
-    else:
-        dt = dt_pre
+    dt_pre = delta_ref[0, 0].astype(jnp.float32) + bias_ref[0, 0].astype(jnp.float32)
+    dt = jax.nn.softplus(dt_pre) if softplus else dt_pre     # (D_blk, T)
     u = u_ref[0, 0].astype(jnp.float32)
-    du_in = dt * u
-    A = A_ref[0].astype(jnp.float32)                         # (D_blk, N)
+    A_col = A_ref[0, 0].astype(jnp.float32)                 # (NR, 1) n-major
     Bm = B_ref[0, 0].astype(jnp.float32)                     # (N, T)
-    Cm = C_ref[0, 0].astype(jnp.float32)                     # (N, T)
+    Cm = C_ref[0, 0].astype(jnp.float32)
     dy = dy_ref[0, 0].astype(jnp.float32)                    # (D_blk, T)
-    h_in = hchk_ref[0, 0, 0]                                 # (D_blk, N) fp32
+    h_in = hchk_ref[0, 0, 0, 0]                                 # (NR, 1) fp32
 
-    D_blk = u.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (D_blk, T), 1)
+    NR = N * D_blk
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (NR, T), 1)
     last_col = col_ids == (T - 1)
 
-    du_acc = jnp.zeros((D_blk, T), jnp.float32)
-    ddt_acc = jnp.zeros((D_blk, T), jnp.float32)
-    dB_acc = jnp.zeros((N, T), jnp.float32)
-    dC_acc = jnp.zeros((N, T), jnp.float32)
+    dt_rep = _rows(dt, N)
+    du_in_rep = _rows(dt * u, N)
+    B_full = _rep_rows(Bm, D_blk)                            # (NR, T)
+    C_full = _rep_rows(Cm, D_blk)
+    dy_rep = _rows(dy, N)
 
-    for n in range(N):
-        An = A[:, n : n + 1]
-        a = jnp.exp(dt * An)                                 # (D_blk, T)
-        b = du_in * Bm[n : n + 1, :]
-        # --- rematerialize forward states h_i for this chunk ---
-        a_sc, b_sc = _pair_scan_fwd(a, b, col_ids, T)
-        h = b_sc + a_sc * h_in[:, n : n + 1]                 # (D_blk, T)
-        h_prev = jnp.where(
-            col_ids == 0,
-            h_in[:, n : n + 1],
-            pltpu.roll(h, 1, 1),
-        )
-        # --- reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1} ---
-        e = Cm[n : n + 1, :] * dy
-        # inject the carry from the chunk to the right at the last position
-        e = jnp.where(last_col, e + g_state[:, n : n + 1], e)
-        a_next = jnp.where(col_ids == (T - 1), 0.0, pltpu.roll(a, T - 1, 1))
-        G = _pair_scan_rev(a_next, e, col_ids, T)            # (D_blk, T)
-        # carry for the next (left) chunk: a_0 * G_0
-        g_state[:, n : n + 1] = (a * G)[:, 0:1]
+    a = jnp.exp(dt_rep * A_col)
+    b = du_in_rep * B_full
 
-        Gh_a = G * h_prev * a                                # shared term
-        du_acc = du_acc + G * dt * Bm[n : n + 1, :]
-        ddt_acc = ddt_acc + G * u * Bm[n : n + 1, :] + Gh_a * An
-        dB_acc = dB_acc + jnp.sum(G * du_in, axis=0, keepdims=True) * (
-            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) == n
-        ).astype(jnp.float32)
-        dC_acc = dC_acc + jnp.sum(h * dy, axis=0, keepdims=True) * (
-            jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) == n
-        ).astype(jnp.float32)
-        dA_ref[0, 0, :, n : n + 1] += jnp.sum(Gh_a * dt, axis=1, keepdims=True)
+    # rematerialize forward states for this chunk
+    a_sc, b_sc = _pair_scan_fwd(a, b, col_ids, T)
+    h = b_sc + a_sc * h_in                                   # (NR, T)
+    h_prev = jnp.where(col_ids == 0, h_in, pltpu.roll(h, 1, 1))
+
+    # reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1}
+    e = C_full * dy_rep
+    e = jnp.where(last_col, e + g_state[...], e)
+    a_next = jnp.where(last_col, 0.0, pltpu.roll(a, T - 1, 1))
+    G = _pair_scan_rev(a_next, e, col_ids, T)                # (NR, T)
+    g_state[...] = (a * G)[:, 0:1]
+
+    Gh_a = G * h_prev * a
+    du = _block_sum(G * dt_rep * B_full, N, D_blk)           # (D_blk, T)
+    ddt = _block_sum(G * _rows(u, N) * B_full + Gh_a * A_col, N, D_blk)
+    dB = _row_block_sums(G * du_in_rep, N, D_blk)            # (N, T)
+    dC = _row_block_sums(h * dy_rep, N, D_blk)
+    dA_ref[0, 0, 0] += jnp.sum(Gh_a * dt_rep, axis=1, keepdims=True)  # (NR, 1)
 
     if has_D:
-        Dv = D_ref[0].astype(jnp.float32)                    # (D_blk, 1)
-        du_acc = du_acc + Dv * dy
-        dD_ref[0, 0] += jnp.sum(dy * u, axis=1, keepdims=True)
+        Dv = D_ref[0, 0].astype(jnp.float32)                 # (D_blk, 1)
+        du = du + Dv * dy
+        dD_ref[0, 0, 0] += jnp.sum(dy * u, axis=1, keepdims=True)
 
-    if softplus:
-        ddt_pre = ddt_acc * jax.nn.sigmoid(dt_pre)
-    else:
-        ddt_pre = ddt_acc
-    dbias_ref[0, 0] += jnp.sum(ddt_pre, axis=1, keepdims=True)
+    ddt_pre = ddt * jax.nn.sigmoid(dt_pre) if softplus else ddt
+    dbias_ref[0, 0, 0] += jnp.sum(ddt_pre, axis=1, keepdims=True)
 
-    du_ref[0, 0] = du_acc.astype(du_ref.dtype)
+    du_ref[0, 0] = du.astype(du_ref.dtype)
     ddelta_ref[0, 0] = ddt_pre.astype(ddelta_ref.dtype)
-    dB_ref[0, 0] = dB_acc.astype(dB_ref.dtype)
-    dC_ref[0, 0] = dC_acc.astype(dC_ref.dtype)
+    dB_ref[0, 0] = dB.astype(dB_ref.dtype)
+    dC_ref[0, 0] = dC.astype(dC_ref.dtype)
 
 
 def _pick_chunk(L, chunk):
-    """Largest lane-aligned chunk size dividing L (after padding to 128)."""
+    """Largest lane-aligned chunk size dividing the padded L."""
     for T in (chunk, 512, 256, 128):
         if T <= chunk and L % T == 0:
             return T
     return 128
+
+
+def _pick_dblk(D, N):
+    """Largest channel block with N * D_blk <= MAX_ROWS that divides D."""
+    cap = max(1, MAX_ROWS // max(N, 1))
+    for d in range(min(D, cap), 0, -1):
+        if D % d == 0:
+            return d
+    return 1
 
 
 def _pad_L(x, Lp):
@@ -234,51 +262,69 @@ def _pad_L(x, Lp):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
-)
+def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
+    """Common padding/reshape for fwd and bwd pallas calls."""
+    Bsz, G, D, L = u.shape
+    N = A.shape[-1]
+    T = _pick_chunk(L, chunk)
+    Lp = pl.cdiv(L, T) * T
+    D_blk = _pick_dblk(D, N)
+    nD = D // D_blk
+    nL = Lp // T
+    # A pre-flattened to n-major rows per d-block: (G, nD, NR, 1) with
+    # row r = n*D_blk + d (Mosaic cannot shape-cast this in-kernel)
+    A_nm = jnp.swapaxes(A.reshape(G, nD, D_blk, N), 2, 3).reshape(
+        G, nD, N * D_blk, 1
+    )
+    D4 = Dskip.reshape(G, nD, D_blk, 1)
+    bias4 = delta_bias.reshape(G, nD, D_blk, 1)
+    args = (
+        _pad_L(u, Lp), _pad_L(delta, Lp), A_nm,
+        _pad_L(B, Lp), _pad_L(C, Lp), D4, bias4,
+    )
+    return args, (Bsz, G, D, L, N, T, Lp, D_blk, nD, nL)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _scan_core(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk):
     y, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk)
     return y
 
 
 def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk):
-    Bsz, G, D, L = u.shape
-    N = A.shape[-1]
-    T = _pick_chunk(L, chunk)
-    Lp = pl.cdiv(L, T) * T
-    nL = Lp // T
-    u_p, delta_p = _pad_L(u, Lp), _pad_L(delta, Lp)
-    B_p, C_p = _pad_L(B, Lp), _pad_L(C, Lp)
-    A3 = A.reshape(G, D, N)
-    D3 = Dskip.reshape(G, D, 1)
-    bias3 = delta_bias.reshape(G, D, 1)
+    (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
+        u, delta, A, B, C, Dskip, delta_bias, chunk
+    )
+    Bsz, G, D, L, N, T, Lp, D_blk, nD, nL = dims
+    NR = N * D_blk
 
-    grid = (Bsz, G, 1, nL)
-    kernel = functools.partial(_fwd_kernel, N=N, T=T, softplus=softplus, has_D=has_D)
+    grid = (Bsz, G, nD, nL)
+    kernel = functools.partial(
+        _fwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D
+    )
     y, hchk = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, D, T), lambda b, g, d, l: (b, g, d, l)),  # u
-            pl.BlockSpec((1, 1, D, T), lambda b, g, d, l: (b, g, d, l)),  # delta
-            pl.BlockSpec((1, D, N), lambda b, g, d, l: (g, d, 0)),        # A
-            pl.BlockSpec((1, 1, N, T), lambda b, g, d, l: (b, g, 0, l)),  # B
-            pl.BlockSpec((1, 1, N, T), lambda b, g, d, l: (b, g, 0, l)),  # C
-            pl.BlockSpec((1, D, 1), lambda b, g, d, l: (g, d, 0)),        # Dskip
-            pl.BlockSpec((1, D, 1), lambda b, g, d, l: (g, d, 0)),        # bias
+            pl.BlockSpec((1, 1, D_blk, T), lambda b, g, j, l: (b, g, j, l)),  # u
+            pl.BlockSpec((1, 1, D_blk, T), lambda b, g, j, l: (b, g, j, l)),  # delta
+            pl.BlockSpec((1, 1, NR, 1), lambda b, g, j, l: (g, j, 0, 0)),     # A
+            pl.BlockSpec((1, 1, N, T), lambda b, g, j, l: (b, g, 0, l)),      # B
+            pl.BlockSpec((1, 1, N, T), lambda b, g, j, l: (b, g, 0, l)),      # C
+            pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # Dskip
+            pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # bias
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, D, T), lambda b, g, d, l: (b, g, d, l)),
-            pl.BlockSpec((1, 1, 1, D, N), lambda b, g, d, l: (b, g, l, d, 0)),
+            pl.BlockSpec((1, 1, D_blk, T), lambda b, g, j, l: (b, g, j, l)),
+            pl.BlockSpec((1, 1, 1, 1, NR, 1), lambda b, g, j, l: (b, g, j, l, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bsz, G, D, Lp), out_dtype),
-            jax.ShapeDtypeStruct((Bsz, G, nL, D, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, nD, nL, NR, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((D, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
         interpret=_interpret(),
-    )(u_p, delta_p, A3, B_p, C_p, D3, bias3)
+    )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4)
     return y[..., :L], hchk
 
 
@@ -289,66 +335,70 @@ def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dty
 
 def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, res, dy):
     u, delta, A, B, C, Dskip, delta_bias, hchk = res
-    Bsz, G, D, L = u.shape
-    N = A.shape[-1]
-    T = _pick_chunk(L, chunk)
-    Lp = pl.cdiv(L, T) * T
-    nL = Lp // T
-    u_p, delta_p = _pad_L(u, Lp), _pad_L(delta, Lp)
-    B_p, C_p = _pad_L(B, Lp), _pad_L(C, Lp)
+    (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
+        u, delta, A, B, C, Dskip, delta_bias, chunk
+    )
+    Bsz, G, D, L, N, T, Lp, D_blk, nD, nL = dims
+    NR = N * D_blk
     dy_p = _pad_L(dy.astype(jnp.float32), Lp)
-    A3 = A.reshape(G, D, N)
-    D3 = Dskip.reshape(G, D, 1)
-    bias3 = delta_bias.reshape(G, D, 1)
 
-    grid = (Bsz, G, 1, nL)
-    rev = lambda b, g, d, l: (b, g, d, nL - 1 - l)
-    rev_chk = lambda b, g, d, l: (b, g, nL - 1 - l, d, 0)
-    rev_bc = lambda b, g, d, l: (b, g, 0, nL - 1 - l)
-    kernel = functools.partial(_bwd_kernel, N=N, T=T, softplus=softplus, has_D=has_D)
-    du, ddelta, dA_p, dB, dC, dD_p, dbias_p = pl.pallas_call(
+    grid = (Bsz, G, nD, nL)
+    rev = lambda b, g, j, l: (b, g, j, nL - 1 - l)
+    rev_chk = lambda b, g, j, l: (b, g, j, nL - 1 - l, 0, 0)
+    rev_bc = lambda b, g, j, l: (b, g, 0, nL - 1 - l)
+    # dB/dC get a separate output row PER (batch, d-block): fold j into the
+    # leading dim so different j grid steps never write the same block
+    rev_bc_j = lambda b, g, j, l: (b * nD + j, g, 0, nL - 1 - l)
+    stat = lambda b, g, j, l: (g, j, 0, 0)
+    kernel = functools.partial(
+        _bwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D
+    )
+    du, ddelta, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, D, T), rev),                               # u
-            pl.BlockSpec((1, 1, D, T), rev),                               # delta
-            pl.BlockSpec((1, D, N), lambda b, g, d, l: (g, d, 0)),         # A
-            pl.BlockSpec((1, 1, N, T), rev_bc),                            # B
-            pl.BlockSpec((1, 1, N, T), rev_bc),                            # C
-            pl.BlockSpec((1, D, 1), lambda b, g, d, l: (g, d, 0)),         # Dskip
-            pl.BlockSpec((1, D, 1), lambda b, g, d, l: (g, d, 0)),         # bias
-            pl.BlockSpec((1, 1, 1, D, N), rev_chk),                        # hchk
-            pl.BlockSpec((1, 1, D, T), rev),                               # dy
+            pl.BlockSpec((1, 1, D_blk, T), rev),                         # u
+            pl.BlockSpec((1, 1, D_blk, T), rev),                         # delta
+            pl.BlockSpec((1, 1, NR, 1), stat),                           # A
+            pl.BlockSpec((1, 1, N, T), rev_bc),                          # B
+            pl.BlockSpec((1, 1, N, T), rev_bc),                          # C
+            pl.BlockSpec((1, 1, D_blk, 1), stat),                        # Dskip
+            pl.BlockSpec((1, 1, D_blk, 1), stat),                        # bias
+            pl.BlockSpec((1, 1, 1, 1, NR, 1), rev_chk),                  # hchk
+            pl.BlockSpec((1, 1, D_blk, T), rev),                         # dy
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, D, T), rev),                               # du
-            pl.BlockSpec((1, 1, D, T), rev),                               # ddelta
-            pl.BlockSpec((1, 1, D, N), lambda b, g, d, l: (b, g, d, 0)),   # dA partial
-            pl.BlockSpec((1, 1, N, T), rev_bc),                            # dB
-            pl.BlockSpec((1, 1, N, T), rev_bc),                            # dC
-            pl.BlockSpec((1, 1, D, 1), lambda b, g, d, l: (b, g, d, 0)),   # dD partial
-            pl.BlockSpec((1, 1, D, 1), lambda b, g, d, l: (b, g, d, 0)),   # dbias partial
+            pl.BlockSpec((1, 1, D_blk, T), rev),                         # du
+            pl.BlockSpec((1, 1, D_blk, T), rev),                         # ddelta
+            pl.BlockSpec((1, 1, 1, NR, 1), lambda b, g, j, l: (b, g, j, 0, 0)),  # dA
+            pl.BlockSpec((1, 1, N, T), rev_bc_j),                        # dB partial (per j, summed below)
+            pl.BlockSpec((1, 1, N, T), rev_bc_j),                        # dC partial
+            pl.BlockSpec((1, 1, 1, D_blk, 1), lambda b, g, j, l: (b, g, j, 0, 0)),  # dD
+            pl.BlockSpec((1, 1, 1, D_blk, 1), lambda b, g, j, l: (b, g, j, 0, 0)),  # dbias
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, D, N), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, N, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, N, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, D, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, D, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz * nD, G, N, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz * nD, G, N, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((D, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
         interpret=_interpret(),
-    )(u_p, delta_p, A3, B_p, C_p, D3, bias3, hchk, dy_p)
+    )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4, hchk, dy_p)
 
     du = du[..., :L].astype(u.dtype)
     ddelta = ddelta[..., :L].astype(delta.dtype)
-    dA = jnp.sum(dA_p, axis=0).astype(A.dtype)
-    dB = dB[..., :L].astype(B.dtype)
-    dC = dC[..., :L].astype(C.dtype)
-    dD = jnp.sum(dD_p, axis=(0, 3)).reshape(-1).astype(Dskip.dtype)
-    dbias = jnp.sum(dbias_p, axis=(0, 3)).reshape(-1).astype(delta_bias.dtype)
+    # dA: (B, G, nD, NR, 1) n-major rows -> (G, D, N), summed over batch
+    dA = jnp.sum(dA_p.reshape(Bsz, G, nD, N, D_blk), axis=0)
+    dA = jnp.swapaxes(dA, 2, 3).reshape(G, D, N).astype(A.dtype)
+    # dB/dC: written per (batch, j) row — sum the j copies
+    dB = jnp.sum(dB_p.reshape(Bsz, nD, G, N, Lp), axis=1)[..., :L].astype(B.dtype)
+    dC = jnp.sum(dC_p.reshape(Bsz, nD, G, N, Lp), axis=1)[..., :L].astype(C.dtype)
+    dD = jnp.sum(dD_p, axis=(0, 4)).reshape(-1).astype(Dskip.dtype)
+    dbias = jnp.sum(dbias_p, axis=(0, 4)).reshape(-1).astype(delta_bias.dtype)
     return du, ddelta, dA, dB, dC, dD, dbias
 
 
