@@ -45,8 +45,11 @@ def main(args):
     from focalnet_tpu.models import build_net
     from focalnet_tpu.utils import model_flops, scan_flops
 
-    model = build_net(args.preset)
-    cfg = PRESETS[args.preset]
+    overrides = {}
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
+    model = build_net(args.preset, **overrides)
+    cfg = PRESETS[args.preset].replace(**overrides) if overrides else PRESETS[args.preset]
 
     train_cfg = TrainConfig(
         data_dir=args.data_dir,
@@ -119,6 +122,9 @@ def parse_args(argv=None):
     p.add_argument("--model_save_dir", type=str, default="results/weights")
     p.add_argument("--result_dir", type=str, default="results/images")
     p.add_argument("--flops_report", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="activation compute dtype (params stay fp32)")
     return p.parse_args(argv)
 
 

@@ -41,6 +41,7 @@ class BasicConv(nn.Module):
     norm: bool = False
     act: bool = True
     transpose: bool = False
+    dtype: Any = None  # computation dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -55,6 +56,7 @@ class BasicConv(nn.Module):
             use_bias=use_bias,
             kernel_init=torch_default,
             bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
         )
         if self.transpose:
             x = nn.ConvTranspose(padding="SAME", **common)(x)
@@ -76,11 +78,12 @@ class ResBlock(nn.Module):
     (``layers.py:28-40``, live in ``results_baseline/code/MIMOUNet.py:8-23``)."""
 
     channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = BasicConv(self.channels, 3, act=True)(x, train=train)
-        h = BasicConv(self.channels, 3, act=False)(h, train=train)
+        h = BasicConv(self.channels, 3, act=True, dtype=self.dtype)(x, train=train)
+        h = BasicConv(self.channels, 3, act=False, dtype=self.dtype)(h, train=train)
         return h + x
 
 
@@ -118,16 +121,20 @@ class SCM(nn.Module):
     ending in affine InstanceNorm (``MIMOUNet.py:58-70``)."""
 
     out_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         c = self.out_channels
-        x = BasicConv(c // 4, 3, act=True)(x, train=train)
-        x = BasicConv(c // 2, 1, act=True)(x, train=train)
-        x = BasicConv(c // 2, 3, act=True)(x, train=train)
-        x = BasicConv(c, 1, act=False)(x, train=train)
+        dt = self.dtype
+        x = BasicConv(c // 4, 3, act=True, dtype=dt)(x, train=train)
+        x = BasicConv(c // 2, 1, act=True, dtype=dt)(x, train=train)
+        x = BasicConv(c // 2, 3, act=True, dtype=dt)(x, train=train)
+        x = BasicConv(c, 1, act=False, dtype=dt)(x, train=train)
         # InstanceNorm2d(affine=True) == per-sample, per-channel norm over HW
-        return nn.GroupNorm(num_groups=c, epsilon=1e-5)(x)
+        # (norm math in fp32 for stability, result cast back)
+        y = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=jnp.float32)(x)
+        return y.astype(x.dtype)
 
 
 class FAM(nn.Module):
@@ -135,10 +142,11 @@ class FAM(nn.Module):
     (``MIMOUNet.py:72-77``)."""
 
     channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x1, x2, *, train: bool = False):
-        return BasicConv(self.channels, 3, act=False)(
+        return BasicConv(self.channels, 3, act=False, dtype=self.dtype)(
             jnp.concatenate([x1, x2], axis=-1), train=train
         )
 

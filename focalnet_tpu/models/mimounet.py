@@ -23,6 +23,13 @@ from focalnet_tpu.models.layers import FAM, SCM, BasicConv, ResBlock, nearest_do
 from focalnet_tpu.models.vssg import VSSG
 
 
+def _cfg_dtype(cfg: ModelConfig):
+    """compute_dtype config -> jnp dtype (None = fp32 end to end)."""
+    if cfg.compute_dtype in (None, "float32", "fp32"):
+        return None
+    return jnp.dtype(cfg.compute_dtype)
+
+
 class StageStack(nn.Module):
     """EBlock/DBlock shared body: num_res stage modules + outer residual
     (``MIMOUNet.py:10-55``)."""
@@ -58,10 +65,12 @@ class StageStack(nn.Module):
                     drop_path_rate=c.drop_path_rate,
                     use_checkpoint=c.use_checkpoint,
                     scan_backend=c.scan_backend,
+                    dtype=_cfg_dtype(c),
                     name=f"layers_{i}",
                 )(res, deterministic=deterministic)
             else:  # baseline conv ResBlocks
-                res = ResBlock(self.channels, name=f"layers_{i}")(res, train=train)
+                res = ResBlock(self.channels, dtype=_cfg_dtype(c),
+                               name=f"layers_{i}")(res, train=train)
         return res + x
 
 
@@ -77,47 +86,55 @@ class MIMOUNet(nn.Module):
         Returns [out_4, out_2, out_1] at 1/4, 1/2, full resolution.
         """
         d0, d1, d2 = self.cfg.dims
+        dt = _cfg_dtype(self.cfg)
         kw = dict(deterministic=deterministic, train=train)
         ckw = dict(train=train)
 
+        in_dtype = x.dtype
+        if dt is not None:
+            x = x.astype(dt)
         x_2 = nearest_down2(x)
         x_4 = nearest_down2(x_2)
-        z2 = SCM(d1, name="SCM2")(x_2, **ckw)
-        z4 = SCM(d2, name="SCM1")(x_4, **ckw)
+        z2 = SCM(d1, dtype=dt, name="SCM2")(x_2, **ckw)
+        z4 = SCM(d2, dtype=dt, name="SCM1")(x_4, **ckw)
 
         outputs = []
         # full res
-        x_ = BasicConv(d0, 3, act=True, name="feat_extract_0")(x, **ckw)
+        x_ = BasicConv(d0, 3, act=True, dtype=dt, name="feat_extract_0")(x, **ckw)
         res1 = StageStack(d0, self.cfg, name="Encoder_0")(x_, **kw)
         # half res
-        z = BasicConv(d1, 3, stride=2, act=True, name="feat_extract_1")(res1, **ckw)
-        z = FAM(d1, name="FAM2")(z, z2, **ckw)
+        z = BasicConv(d1, 3, stride=2, act=True, dtype=dt,
+                      name="feat_extract_1")(res1, **ckw)
+        z = FAM(d1, dtype=dt, name="FAM2")(z, z2, **ckw)
         res2 = StageStack(d1, self.cfg, name="Encoder_1")(z, **kw)
         # quarter res
-        z = BasicConv(d2, 3, stride=2, act=True, name="feat_extract_2")(res2, **ckw)
-        z = FAM(d2, name="FAM1")(z, z4, **ckw)
+        z = BasicConv(d2, 3, stride=2, act=True, dtype=dt,
+                      name="feat_extract_2")(res2, **ckw)
+        z = FAM(d2, dtype=dt, name="FAM1")(z, z4, **ckw)
         z = StageStack(d2, self.cfg, name="Encoder_2")(z, **kw)
 
         z = StageStack(d2, self.cfg, name="Decoder_0")(z, **kw)
-        z_ = BasicConv(3, 3, act=False, name="ConvsOut_0")(z, **ckw)
-        z = BasicConv(d1, 4, stride=2, act=True, transpose=True,
+        z_ = BasicConv(3, 3, act=False, dtype=dt, name="ConvsOut_0")(z, **ckw)
+        z = BasicConv(d1, 4, stride=2, act=True, transpose=True, dtype=dt,
                       name="feat_extract_3")(z, **ckw)
         outputs.append(z_ + x_4)
 
         z = jnp.concatenate([z, res2], axis=-1)
-        z = BasicConv(d1, 1, act=True, name="Convs_0")(z, **ckw)
+        z = BasicConv(d1, 1, act=True, dtype=dt, name="Convs_0")(z, **ckw)
         z = StageStack(d1, self.cfg, name="Decoder_1")(z, **kw)
-        z_ = BasicConv(3, 3, act=False, name="ConvsOut_1")(z, **ckw)
-        z = BasicConv(d0, 4, stride=2, act=True, transpose=True,
+        z_ = BasicConv(3, 3, act=False, dtype=dt, name="ConvsOut_1")(z, **ckw)
+        z = BasicConv(d0, 4, stride=2, act=True, transpose=True, dtype=dt,
                       name="feat_extract_4")(z, **ckw)
         outputs.append(z_ + x_2)
 
         z = jnp.concatenate([z, res1], axis=-1)
-        z = BasicConv(d0, 1, act=True, name="Convs_1")(z, **ckw)
+        z = BasicConv(d0, 1, act=True, dtype=dt, name="Convs_1")(z, **ckw)
         z = StageStack(d0, self.cfg, name="Decoder_2")(z, **kw)
-        z = BasicConv(3, 3, act=False, name="feat_extract_5")(z, **ckw)
+        z = BasicConv(3, 3, act=False, dtype=dt, name="feat_extract_5")(z, **ckw)
         outputs.append(z + x)
 
+        if dt is not None:  # restore fp32 outputs for loss/metrics
+            outputs = [o.astype(in_dtype) for o in outputs]
         return outputs
 
 

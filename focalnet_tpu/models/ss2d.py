@@ -108,13 +108,14 @@ class Mlp(nn.Module):
     out_features: Optional[int] = None
     act: str = "gelu"
     drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out = self.out_features or x.shape[-1]
         dense = lambda f, name: nn.Dense(
             f, kernel_init=trunc_normal_02, bias_init=nn.initializers.zeros,
-            name=name,
+            dtype=self.dtype, name=name,
         )
         x = dense(self.hidden_features, "fc1")(x)
         x = _ACTS[self.act](x)
@@ -150,6 +151,7 @@ class SS2D(nn.Module):
     forward_type: str = "v4"
     scan_backend: str = "auto"
     scan_chunk: int = 512
+    dtype: Any = None  # computation dtype; scan state stays fp32
 
     @property
     def d_inner(self):
@@ -211,7 +213,8 @@ class SS2D(nn.Module):
         if kind == "none":
             return y
         if kind == "ln":
-            return nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
+            return out
         if kind == "dwconv3":
             return nn.Conv(
                 self.d_inner, (3, 3), padding=[(1, 1), (1, 1)],
@@ -293,7 +296,7 @@ class SS2D(nn.Module):
         h = nn.Dense(
             d_proj, use_bias=self.bias,
             kernel_init=trunc_normal_02, bias_init=nn.initializers.zeros,
-            name="in_proj",
+            dtype=self.dtype, name="in_proj",
         )(x)
         if not flags["disable_z"]:
             h, z = jnp.split(h, 2, axis=-1)
@@ -307,7 +310,7 @@ class SS2D(nn.Module):
                 feature_group_count=d_inner, use_bias=self.conv_bias,
                 kernel_init=torch_default,
                 bias_init=torch_bias_init(self.d_conv * self.d_conv),
-                name="conv2d",
+                dtype=self.dtype, name="conv2d",
             )(h)
         h = act(h)
 
@@ -318,7 +321,7 @@ class SS2D(nn.Module):
         out = nn.Dense(
             self.d_model, use_bias=self.bias,
             kernel_init=trunc_normal_02, bias_init=nn.initializers.zeros,
-            name="out_proj",
+            dtype=self.dtype, name="out_proj",
         )(y)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out

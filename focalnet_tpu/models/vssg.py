@@ -46,6 +46,7 @@ class VSSBlock(nn.Module):
     post_norm: bool = False
     use_checkpoint: bool = False
     scan_backend: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -66,19 +67,21 @@ class VSSBlock(nn.Module):
                     initialize=mdl.ssm_init,
                     forward_type=mdl.forward_type,
                     scan_backend=mdl.scan_backend,
+                    dtype=mdl.dtype,
                     name="op",
                 )
-                h = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-                h = op(h, deterministic=deterministic)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+                h = op(h.astype(x.dtype), deterministic=deterministic)
                 x = x + DropPath(mdl.drop_path)(h, deterministic=deterministic)
             if mlp_branch:
-                h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
                 h = Mlp(
                     hidden_features=int(mdl.hidden_dim * mdl.mlp_ratio),
                     act=mdl.mlp_act,
                     drop=mdl.mlp_drop_rate,
+                    dtype=mdl.dtype,
                     name="mlp",
-                )(h, deterministic=deterministic)
+                )(h.astype(x.dtype), deterministic=deterministic)
                 x = x + DropPath(mdl.drop_path)(h, deterministic=deterministic)
             return x
 
@@ -107,6 +110,7 @@ def _make_blocks(prefix, depth, dim, dpr, cfg, scan_backend):
             mlp_drop_rate=cfg["mlp_drop_rate"],
             use_checkpoint=cfg["use_checkpoint"],
             scan_backend=scan_backend,
+            dtype=cfg.get("dtype"),
             name=f"{prefix}{d}",
         )
         for d in range(depth)
@@ -146,6 +150,7 @@ class VSSG(nn.Module):
     patch_norm: bool = True
     use_checkpoint: bool = False
     scan_backend: str = "auto"
+    dtype: Any = None
 
     def _patch_embed(self, x, ps, name):
         """conv(k=ps, s=ps) + LayerNorm (``vmamba_layers.py:940-947``)."""
@@ -153,10 +158,12 @@ class VSSG(nn.Module):
         x = nn.Conv(
             self.dim, (ps, ps), strides=(ps, ps), padding="VALID",
             kernel_init=torch_default, bias_init=torch_bias_init(fan_in),
-            name=f"{name}_conv",
+            dtype=self.dtype, name=f"{name}_conv",
         )(x)
         if self.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, name=f"{name}_norm")(x)
+            dt = x.dtype
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name=f"{name}_norm")(x).astype(dt)
         return x
 
     def _patch_unembed(self, x, ps, out_chans, name):
@@ -164,7 +171,7 @@ class VSSG(nn.Module):
         x = nn.Conv(
             out_chans * ps * ps, (1, 1), padding="VALID",
             kernel_init=torch_default, bias_init=torch_bias_init(self.dim),
-            name=f"{name}_conv",
+            dtype=self.dtype, name=f"{name}_conv",
         )(x)
         return pixel_shuffle(x, ps)
 
@@ -177,7 +184,7 @@ class VSSG(nn.Module):
             ssm_drop_rate=self.ssm_drop_rate, ssm_init=self.ssm_init,
             forward_type=self.forward_type, mlp_ratio=self.mlp_ratio,
             mlp_act=self.mlp_act, mlp_drop_rate=self.mlp_drop_rate,
-            use_checkpoint=self.use_checkpoint,
+            use_checkpoint=self.use_checkpoint, dtype=self.dtype,
         )
         total_depth = sum(self.depths)
         dpr = list(np.linspace(0.0, self.drop_path_rate, total_depth))
