@@ -43,7 +43,8 @@ def main(args):
 
     from focalnet_tpu.configs import PRESETS, TrainConfig
     from focalnet_tpu.models import build_net
-    from focalnet_tpu.utils import model_flops, scan_flops
+    from focalnet_tpu.utils import model_flops
+    from focalnet_tpu.utils.flops import mimounet_scan_flops
 
     overrides = {}
     if args.compute_dtype:
@@ -80,8 +81,13 @@ def main(args):
         params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
         n_params = sum(p.size for p in jax.tree.leaves(params))
         flops = model_flops(lambda p, x: model.apply(p, x), params, x)
+        scan = 0
+        if cfg.block_type == "vssg":
+            scan = mimounet_scan_flops(cfg, (256, 256))
         print(f"params: {n_params/1e6:.3f}M")
-        print(f"xla flops @256^2: {flops/1e9:.2f} GFLOPs (+ scan regions)")
+        print(f"xla flops @256^2: {flops/1e9:.2f} GFLOPs"
+              f" + scan {scan/1e9:.2f} GFLOPs (9BLDN model)"
+              f" = {(flops+scan)/1e9:.2f} GFLOPs total")
 
     if args.mode == "train":
         from focalnet_tpu.train import train

@@ -23,6 +23,30 @@ def scan_flops(B: int, L: int, D: int, N: int, with_D: bool = True,
     return flops
 
 
+def mimounet_scan_flops(cfg, hw=(256, 256), batch: int = 1) -> int:
+    """Total selective-scan FLOPs for one MIMOUNet forward at ``hw``.
+
+    Per VSSG branch: depth blocks x scan over L=(H_s/ps)^2 with
+    D = K_dirs * d_inner channels; 6 stages (3 encoder + 3 decoder), each
+    ``num_res`` VSSGs; the gl_merge variant adds the local branch.
+    """
+    H, W = hw
+    d_inner = int(cfg.ssm_ratio * cfg.vssg_dim)
+    D = 4 * d_inner  # K=4 directions folded into channels
+    N = cfg.ssm_d_state
+    depth = sum(cfg.depths)
+    total = 0
+    for scale in (1, 2, 4):  # full/half/quarter stages, encoder + decoder
+        hs, ws = H // scale, W // scale
+        branches = [cfg.patch_size_global]
+        if cfg.gl_merge:
+            branches.append(cfg.patch_size_local)
+        for ps in branches:
+            L = (hs // ps) * (ws // ps)
+            total += 2 * cfg.num_res * depth * scan_flops(batch, L, D, N)
+    return total
+
+
 def model_flops(fn, *args) -> float:
     """Estimate FLOPs of a jitted callable via XLA's cost analysis.
 
