@@ -86,8 +86,9 @@ class VSSBlock(nn.Module):
             return x
 
         if self.use_checkpoint:
-            body = nn.remat(body, prevent_cse=False)(self, x)
-            return body
+            # prevent_cse must stay True or XLA CSEs the recomputation away
+            # and the checkpoint saves nothing
+            return nn.remat(body)(self, x)
         return body(self, x)
 
 

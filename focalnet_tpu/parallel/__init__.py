@@ -8,8 +8,9 @@ from focalnet_tpu.parallel.mesh import (
     shard_batch,
 )
 from focalnet_tpu.parallel.seq_scan import selective_scan_seq_sharded
+from focalnet_tpu.parallel.tp_scan import selective_scan_tp
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate",
-    "selective_scan_seq_sharded",
+    "selective_scan_seq_sharded", "selective_scan_tp",
 ]

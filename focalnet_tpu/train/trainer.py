@@ -109,12 +109,23 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
     train_step = make_train_step(model, tx, cfg.fft_loss_weight)
 
     logf = open(log_file, "a") if log_file else None
+    # structured metrics next to the text log (TensorBoard-scalar equivalent
+    # of the reference's SummaryWriter Pixel/FFT/PSNR scalars, train.py:36,103)
+    metricsf = (
+        open(os.path.splitext(log_file)[0] + ".metrics.jsonl", "a")
+        if log_file else None
+    )
 
     def log(msg):
         print(msg)
         if logf:
             logf.write(msg + "\n")
             logf.flush()
+
+    def log_metric(**kv):
+        if metricsf:
+            metricsf.write(json.dumps(kv) + "\n")
+            metricsf.flush()
 
     epoch_pixel, epoch_fft = Adder(), Adder()
     iter_pixel, iter_fft = Adder(), Adder()
@@ -145,6 +156,11 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
                     "Loss content: %7.4f Loss fft: %7.4f" % (
                         iter_timer.toc(), epoch_idx, iter_idx + 1, max_iter,
                         lr, iter_pixel.average(), iter_fft.average()))
+                log_metric(
+                    step=(epoch_idx - 1) * max_iter + iter_idx,
+                    pixel_loss=iter_pixel.average(),
+                    fft_loss=iter_fft.average(), lr=lr,
+                )
                 iter_timer.tic()
                 iter_pixel.reset(); iter_fft.reset()
 
@@ -160,6 +176,7 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         if epoch_idx % cfg.valid_freq == 0 or epoch_idx == 1:
             val = validate(model, params, cfg.data_dir)
             log("%03d epoch \n Average PSNR %.2f dB" % (epoch_idx, val))
+            log_metric(epoch=epoch_idx, psnr=val)
             if val >= best_psnr:
                 best_psnr = val
                 ckpt.save_best(params)
@@ -167,4 +184,6 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
     ckpt.save_final(params)
     if logf:
         logf.close()
+    if metricsf:
+        metricsf.close()
     return params, opt_state

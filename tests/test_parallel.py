@@ -108,3 +108,29 @@ def test_data_parallel_train_step_matches_single_device():
     opt_r = replicate(opt_state, mesh)
     p8, o8, m8 = step(params_r, opt_r, hazy_s, gt_s, rng)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(p8))
+
+
+def test_tp_channel_sharded_scan_parity():
+    """Channel (tensor-parallel) sharded scan == oracle; no collectives
+    needed — the recurrence is independent per channel."""
+    from focalnet_tpu.parallel import selective_scan_tp
+
+    mesh = make_mesh(axes=("model",))
+    batch, G, N, L = 2, 8, 4, 128  # 8 groups over 8 devices
+    dim = 2 * G
+    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    u = jax.random.normal(ks[0], (batch, dim, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (batch, dim, L))
+    A = -1.0 - jax.random.uniform(ks[2], (dim, N))
+    B = jax.random.normal(ks[3], (batch, G, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (batch, G, N, L)) * 0.5
+    D = jax.random.normal(ks[5], (dim,))
+    bias = 0.3 * jax.random.normal(ks[6], (dim,))
+
+    got = jax.jit(
+        lambda u, d: selective_scan_tp(
+            u, d, A, B, C, D, bias, True, mesh=mesh
+        )
+    )(u, delta)
+    ref = selective_scan_ref(u, delta, A, B, C, D, bias, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
