@@ -23,7 +23,9 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     devices = jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
-    dev_array = np.asarray(devices).reshape(shape)
+    n = int(np.prod(shape))
+    assert n <= len(devices), (shape, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, axes)
 
 

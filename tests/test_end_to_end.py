@@ -1,0 +1,65 @@
+"""End-to-end integration: train on synthetic haze -> checkpoints -> resume
+-> evaluate from Best.  Tiny model/images on CPU; the real-TPU equivalent is
+driven manually via the CLI (see .claude/skills/verify)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from focalnet_tpu.configs import TrainConfig
+from focalnet_tpu.data import make_synthetic_dataset
+from focalnet_tpu.evaluation import evaluate
+from focalnet_tpu.models import build_net
+from focalnet_tpu.train import load_params, train
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = make_synthetic_dataset(
+        os.path.join(str(root), "data"), n_train=4, n_test=2, hw=(32, 32)
+    )
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4)
+    cfg = TrainConfig(
+        data_dir=data, batch_size=2, num_epoch=2, print_freq=1,
+        valid_freq=1, save_freq=1, num_worker=1, crop_size=32,
+        model_save_dir=os.path.join(str(root), "weights"),
+        learning_rate=1e-3, grad_clip=1.0,
+    )
+    return model, cfg, root
+
+
+def test_train_checkpoints_eval(tiny_setup):
+    model, cfg, root = tiny_setup
+    train(model, None, cfg, log_file=os.path.join(cfg.model_save_dir, "train.log"))
+
+    # the reference's checkpoint trio + final (train.py:110-131)
+    for name in ["model", "model_1", "model_2", "Best", "Final"]:
+        assert os.path.isdir(os.path.join(cfg.model_save_dir, name)), name
+
+    # log formats parse (plot_logs contract)
+    from focalnet_tpu.utils.plot_logs import parse_log
+
+    d = parse_log(os.path.join(cfg.model_save_dir, "train.log"))
+    assert len(d["psnr"]) == 2 and len(d["content"]) >= 2
+
+    # eval from Best produces metrics and saved images
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+    out = evaluate(model, params, cfg.data_dir,
+                   result_dir=os.path.join(str(root), "imgs"), save_images=True)
+    assert 5.0 < out["psnr"] < 60.0
+    assert 0.0 < out["ssim"] <= 1.0
+    assert len(os.listdir(os.path.join(str(root), "imgs"))) == 4
+
+
+def test_resume_continues(tiny_setup):
+    model, cfg, root = tiny_setup
+    # resume from the rolling checkpoint for one more epoch
+    cfg2 = cfg.replace(num_epoch=3)
+    train(model, None, cfg2,
+          resume=os.path.join(cfg.model_save_dir, "model"),
+          log_file=os.path.join(cfg.model_save_dir, "train.log"))
+    assert os.path.isdir(os.path.join(cfg.model_save_dir, "model_3"))
