@@ -234,3 +234,20 @@ def test_grad_clip_applied():
     updates, _ = tx.update(huge_grads, opt_state, params)
     # after clipping, grad norm is 0.001 -> adam normalizes to ~lr steps
     assert float(jnp.max(jnp.abs(updates["w"]))) <= cfg.learning_rate * 1.01
+
+
+def test_evaluate_rectangular_images(tmp_path):
+    """SOTS-indoor images are 620x460 — eval must handle non-square, non-/32
+    shapes through pad/crop."""
+    from focalnet_tpu.data import make_synthetic_dataset
+    from focalnet_tpu.evaluation import evaluate
+    from focalnet_tpu.models import build_net
+
+    data = make_synthetic_dataset(str(tmp_path), n_train=2, n_test=1, hw=(46, 62))
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16, ssm_d_state=4)
+    import jax
+    import jax.numpy as jnp
+
+    params = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    out = evaluate(model, params, data)
+    assert np.isfinite(out["psnr"]) and 0 < out["ssim"] <= 1
