@@ -1,10 +1,14 @@
 """Benchmark: 256^2 dehazed images/sec/chip on the flagship (1mlp_g2) model.
 
-Replicates the reference's eval-latency protocol (``ITS/eval.py:39-45``:
-batch-1 full-resolution forward, per-image wall clock) on the TPU.  Prints ONE
-JSON line.  ``vs_baseline`` is measured against the driver-recorded reference
-throughput when available in BASELINE.json (``published``); the reference repo
-itself publishes no numbers (BASELINE.md), so it falls back to null.
+Replicates the reference's eval protocol shape (batch-1 full-resolution
+forward, ``ITS/eval.py:39-45``) but measures device throughput by running
+dependent forwards inside one jit — the axon tunnel adds ~25ms RTT per
+dispatch and does not honor block_until_ready, which would otherwise dominate
+and mask real kernel progress between rounds.  Prints ONE JSON line.
+
+``vs_baseline`` compares against ``BASELINE.json``'s ``published`` throughput
+when present; the reference repo publishes no numbers (BASELINE.md), so it
+defaults to null.
 """
 
 import json
@@ -25,18 +29,20 @@ def main():
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 3))
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
 
+    iters = 10
+
     @jax.jit
-    def fwd(params, x):
-        return jnp.mean(model.apply(params, x)[2])  # scalar forces full sync
+    def many(params, x):
+        def body(c, _):
+            y = model.apply(params, x + c * 1e-9)[2]
+            return c + 1.0, jnp.mean(y)
+        c, ys = jax.lax.scan(body, 0.0, None, length=iters)
+        return jnp.mean(ys)  # scalar pull forces full host sync
 
-    float(fwd(params, x))  # compile
-    for _ in range(3):
-        float(fwd(params, x))  # warmup
-
-    iters = 20
+    float(many(params, x))  # compile
+    float(many(params, x))  # warmup
     t0 = time.time()
-    for _ in range(iters):
-        v = float(fwd(params, x))
+    float(many(params, x))
     dt = (time.time() - t0) / iters
     ips = 1.0 / dt
 
@@ -46,7 +52,7 @@ def main():
             baseline = json.load(f).get("published", {}).get("images_per_sec")
     except Exception:
         pass
-    vs = (ips / baseline) if baseline else None
+    vs = round(ips / baseline, 3) if baseline else None
 
     print(json.dumps({
         "metric": "dehaze_256_images_per_sec_per_chip",

@@ -15,7 +15,7 @@ Training defaults mirror ``ITS/main.py:62-87`` / ``ITS/train.py:17-23``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,7 +13,7 @@ the reference (index [2] is the full-resolution restoration used by eval,
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,7 +14,7 @@ the linspace(0, drop_path_rate, sum(depths)) stochastic-depth rule (``:853``).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import numpy as np

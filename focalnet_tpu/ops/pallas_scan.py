@@ -36,7 +36,6 @@ D-block grid dimension is the "nrow" channel blocking (K4) for free.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ all-reduce falls out of jit's partitioner (no hand-written NCCL analogue).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -23,9 +23,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from focalnet_tpu.ops.scan_chunked import _combine, chunk_scan
+from focalnet_tpu.ops.scan_chunked import _combine
 from focalnet_tpu.ops.scan_ref import _expand_groups, _prepare
 
 

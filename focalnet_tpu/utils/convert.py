@@ -171,3 +171,19 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], flax_params: Any):
     unused = sorted(set(state_dict) - used)
     new_params = jax.tree_util.tree_unflatten(treedef, leaves)
     return new_params, {"missing": missing, "unused": unused}
+
+
+def load_torch_checkpoint(path: str, flax_params: Any):
+    """Load a reference ``.pkl`` checkpoint file and convert it.
+
+    Accepts the reference's two on-disk formats (``ITS/train.py:110-117``):
+    ``{'model': state_dict, ...}`` or a bare state dict.  Requires torch
+    (CPU build is enough).  Returns (params, report).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    return convert_state_dict(sd, flax_params)

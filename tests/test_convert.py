@@ -138,3 +138,30 @@ def test_full_model_round_trip():
         jax.tree_util.tree_flatten_with_path(converted)[0],
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+
+
+def test_load_torch_checkpoint_pkl(tmp_path):
+    """Round-trip through an actual torch.save'd .pkl in the reference's
+    {'model': state_dict} format."""
+    import torch
+
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3))
+    )
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    sd = {}
+    for keypath, leaf in flat:
+        path = tuple(k.key for k in keypath)[1:]
+        key, kind = _translate(path)
+        sd[key] = torch.from_numpy(_to_torch_layout(key, kind, leaf).copy())
+    pkl = tmp_path / "model.pkl"
+    torch.save({"model": sd, "epoch": 7}, str(pkl))
+
+    from focalnet_tpu.utils.convert import load_torch_checkpoint
+
+    converted, report = load_torch_checkpoint(str(pkl), params)
+    assert report["missing"] == [] and report["unused"] == []
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(converted)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,52 @@
+"""Opt-in real-TPU tests (skipped on the CPU test mesh).
+
+Run with:  JAX_PLATFORMS= python -m pytest tests/test_tpu_only.py -q
+(i.e. WITHOUT the conftest CPU override — these need the real chip, where
+the Pallas kernel runs compiled rather than interpreted.)
+
+Note tests/conftest.py forces CPU for the main suite; this file re-checks the
+actual backend at runtime and skips unless it's TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU chip"
+)
+
+
+def test_pallas_model_shape_parity_on_hw():
+    """Compiled (Mosaic) kernel vs oracle at the live model's hot shape."""
+    from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+    from focalnet_tpu.ops.scan_chunked import selective_scan_chunked
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    D, N, L = 768, 16, 4096
+    u = (jax.random.normal(ks[0], (1, D, L)) * 0.5).astype(jnp.bfloat16)
+    delta = (0.5 * jax.random.uniform(ks[1], (1, D, L))).astype(jnp.bfloat16)
+    A = -0.5 - jax.random.uniform(ks[2], (D, N))
+    B = (jax.random.normal(ks[3], (1, 4, N, L)) * 0.5).astype(jnp.bfloat16)
+    C = (jax.random.normal(ks[4], (1, 4, N, L)) * 0.5).astype(jnp.bfloat16)
+
+    got = jax.jit(lambda u, d: selective_scan_pallas(u, d, A, B, C,
+                                                     delta_softplus=True))(u, delta)
+    ref = selective_scan_chunked(u, delta, A, B, C, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=5e-2)
+
+
+def test_flagship_forward_on_hw():
+    from focalnet_tpu.models import build_net
+
+    model = build_net("1mlp_g2")
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 3))
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+    outs = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 64, 64, 3), (1, 128, 128, 3), (1, 256, 256, 3)
+    ]
+    for o in outs:
+        assert bool(jnp.all(jnp.isfinite(o)))

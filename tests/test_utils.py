@@ -41,3 +41,20 @@ def test_parse_log(tmp_path):
     assert d["content"] == [(0, 0.1234)]
     assert d["fft"] == [(0, 0.5678)]
     assert d["psnr"] == [(1.0, 33.21)]
+
+
+def test_plot_logs_renders(tmp_path):
+    from focalnet_tpu.utils.plot_logs import plot_logs
+
+    log = tmp_path / "train.log"
+    log.write_text(
+        "Time:  0.1 Epoch: 001 Iter:  100/ 825 LR: 0.0000333333 "
+        "Loss content:  0.9 Loss fft:  50.0\n"
+        "001 epoch \n Average PSNR 30.00 dB\n"
+        "Time:  0.1 Epoch: 002 Iter:  100/ 825 LR: 0.0000666667 "
+        "Loss content:  0.7 Loss fft:  40.0\n"
+        "002 epoch \n Average PSNR 33.00 dB\n"
+    )
+    out = plot_logs([str(log)], labels=["run"], out=str(tmp_path / "c.png"))
+    import os
+    assert os.path.getsize(out) > 1000
