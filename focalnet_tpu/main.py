@@ -101,6 +101,12 @@ def main(args):
         params = load_params(args.test_model)
         evaluate(model, params, args.data_dir,
                  result_dir=args.result_dir, save_images=args.save_image)
+    elif args.mode == "infer":
+        from focalnet_tpu.evaluation import infer
+        from focalnet_tpu.train import load_params
+
+        params = load_params(args.test_model)
+        infer(model, params, args.input, args.result_dir)
 
 
 def parse_args(argv=None):
@@ -108,7 +114,9 @@ def parse_args(argv=None):
     p.add_argument("--preset", type=str, default="1mlp_g2",
                    choices=["baseline", "1mlp", "1mlp_g2", "1mlp_g4"])
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "test"])
+                   choices=["train", "test", "infer"])
+    p.add_argument("--input", type=str, default="",
+                   help="image file or directory for --mode infer")
     p.add_argument("--data_dir", type=str, default="dataset/ITS")
     # train (defaults = ``main.py:71-78``)
     p.add_argument("--batch_size", type=int, default=4)

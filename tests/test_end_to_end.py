@@ -63,3 +63,15 @@ def test_resume_continues(tiny_setup):
           resume=os.path.join(cfg.model_save_dir, "model"),
           log_file=os.path.join(cfg.model_save_dir, "train.log"))
     assert os.path.isdir(os.path.join(cfg.model_save_dir, "model_3"))
+
+
+def test_infer_mode(tiny_setup, tmp_path):
+    """GT-free inference: dehaze a directory of images from Best."""
+    model, cfg, root = tiny_setup
+    from focalnet_tpu.evaluation import infer
+
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+    out_dir = str(tmp_path / "dehazed")
+    res = infer(model, params, os.path.join(cfg.data_dir, "test", "hazy"), out_dir)
+    assert res["count"] == 4
+    assert len(os.listdir(out_dir)) == 4
