@@ -2,6 +2,7 @@
 
 from focalnet_tpu.parallel.mesh import (
     batch_sharding,
+    make_global_batch,
     make_mesh,
     replicate,
     replicated,
@@ -12,5 +13,6 @@ from focalnet_tpu.parallel.tp_scan import selective_scan_tp
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate",
+    "make_global_batch",
     "selective_scan_seq_sharded", "selective_scan_tp",
 ]

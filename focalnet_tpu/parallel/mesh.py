@@ -47,3 +47,24 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_global_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a GLOBAL batch from per-process local data (multi-host DP).
+
+    On a single process this is equivalent to :func:`shard_batch`; on a
+    multi-host pod each process passes only ITS shard of the global batch and
+    jax stitches the global array (the TPU-native replacement for the
+    reference's per-worker torch DataLoader, SURVEY.md §2.3 row "DP").
+    """
+    import jax
+
+    sh = batch_sharding(mesh, axis)
+
+    def place(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(place, batch)

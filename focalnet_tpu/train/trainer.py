@@ -29,7 +29,7 @@ import optax
 from focalnet_tpu.configs import ModelConfig, TrainConfig
 from focalnet_tpu.data import TrainLoader
 from focalnet_tpu.evaluation import validate
-from focalnet_tpu.parallel import make_mesh, replicate, shard_batch
+from focalnet_tpu.parallel import make_global_batch, make_mesh, replicate
 from focalnet_tpu.train.checkpoint import CheckpointManager
 from focalnet_tpu.train.losses import multiscale_loss
 from focalnet_tpu.train.schedule import warmup_cosine_epoch_lr
@@ -143,7 +143,7 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         epoch_timer.tic()
         iter_timer.tic()
         for iter_idx, (hazy, gt) in enumerate(loader.epoch()):
-            hazy, gt = shard_batch((hazy, gt), mesh)
+            hazy, gt = make_global_batch((hazy, gt), mesh)
             r = jax.random.fold_in(step_rng, epoch_idx * max_iter + iter_idx)
             params, opt_state, metrics = train_step(params, opt_state, hazy, gt, r)
             content = float(metrics["content"])

@@ -1,0 +1,44 @@
+"""Property-based fuzzing of the Pallas scan vs the sequential oracle:
+random shapes/flags within the kernel's contract (hypothesis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def scan_cases(draw):
+    batch = draw(st.integers(1, 2))
+    G = draw(st.sampled_from([1, 2, 4]))
+    dpg = draw(st.sampled_from([1, 2, 4, 6]))  # dim per group
+    N = draw(st.sampled_from([1, 2, 4, 16]))
+    L = draw(st.sampled_from([1, 7, 64, 130, 256]))
+    has_D = draw(st.booleans())
+    has_bias = draw(st.booleans())
+    softplus = draw(st.booleans())
+    seed = draw(st.integers(0, 2**16))
+    return batch, G, dpg, N, L, has_D, has_bias, softplus, seed
+
+
+@settings(max_examples=25, deadline=None)
+@given(scan_cases())
+def test_pallas_fuzz_vs_oracle(case):
+    from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+    from focalnet_tpu.ops.scan_ref import selective_scan_ref
+
+    batch, G, dpg, N, L, has_D, has_bias, softplus, seed = case
+    dim = G * dpg
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    u = jax.random.normal(ks[0], (batch, dim, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (batch, dim, L))
+    A = -0.2 - jax.random.uniform(ks[2], (dim, N)) * 2.0
+    B = jax.random.normal(ks[3], (batch, G, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (batch, G, N, L)) * 0.5
+    D = jax.random.normal(ks[5], (dim,)) if has_D else None
+    bias = 0.3 * jax.random.normal(ks[6], (dim,)) if has_bias else None
+
+    got = selective_scan_pallas(u, delta, A, B, C, D, bias, softplus)
+    ref = selective_scan_ref(u, delta, A, B, C, D, bias, softplus)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=6e-4, atol=2e-3)

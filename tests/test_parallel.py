@@ -134,3 +134,15 @@ def test_tp_channel_sharded_scan_parity():
     )(u, delta)
     ref = selective_scan_ref(u, delta, A, B, C, D, bias, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_make_global_batch_single_process():
+    """Single-process path == shard_batch (multi-host branch can't run here)."""
+    from focalnet_tpu.parallel import make_global_batch, shard_batch
+
+    mesh = make_mesh(axes=("data",))
+    x = jnp.arange(8.0 * 4).reshape(8, 4)
+    a = make_global_batch(x, mesh)
+    b = shard_batch(x, mesh)
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
