@@ -102,6 +102,10 @@ def main(args):
         evaluate(model, params, args.data_dir,
                  result_dir=args.result_dir, save_images=args.save_image)
     elif args.mode == "infer":
+        if not args.input:
+            raise SystemExit(
+                "error: --mode infer requires --input <image file or directory>"
+            )
         from focalnet_tpu.evaluation import infer
         from focalnet_tpu.train import load_params
 

@@ -22,6 +22,7 @@ from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
 # tolerance ladder mirroring test_selective_scan.py:398-400
 TOLS = {
     jnp.float32: dict(rtol=6e-4, atol=2e-3),
+    jnp.float16: dict(rtol=3e-3, atol=5e-3),
     jnp.bfloat16: dict(rtol=3e-2, atol=5e-2),
 }
 
@@ -46,7 +47,7 @@ BACKENDS = {
 
 
 @pytest.mark.parametrize("backend", list(BACKENDS))
-@pytest.mark.parametrize("itype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("itype", [jnp.float32, jnp.float16, jnp.bfloat16])
 @pytest.mark.parametrize("L", [64, 256, 1024])
 @pytest.mark.parametrize("has_D,has_bias,softplus", [
     (True, True, True),
