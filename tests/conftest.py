@@ -17,3 +17,14 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: repeated suite runs skip recompiles
+# (the single-core host spends most of the suite compiling otherwise)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.jax_cache_tests"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
