@@ -25,14 +25,19 @@ from focalnet_tpu.evaluation.metrics import (
 from focalnet_tpu.utils import Adder
 
 
+# one jitted forward per model instance, with params passed as an ARGUMENT:
+# repeated validate()/evaluate() calls across epochs reuse the same traced
+# computation (per input shape) instead of retracing with new baked-in params
+_FWD_CACHE: dict = {}
+
+
 def _make_forward(model, params):
-    """jit-per-shape full-resolution forward: (1, H, W, 3) -> output index [2]."""
-
-    @jax.jit
-    def fwd(x):
-        return model.apply(params, x)[2]
-
-    return fwd
+    """Cached jitted full-res forward: (params, (1, H, W, 3)) -> output [2]."""
+    fwd = _FWD_CACHE.get(model)
+    if fwd is None:
+        fwd = jax.jit(lambda p, x: model.apply(p, x)[2])
+        _FWD_CACHE[model] = fwd
+    return lambda x: fwd(params, x)
 
 
 def validate(model, params, data_dir: str, factor: int = 32) -> float:
@@ -65,7 +70,11 @@ def evaluate(model, params, data_dir: str, result_dir: Optional[str] = None,
         elapsed = time.time() - tm
         time_adder(elapsed)
 
-        H, W = padded.shape[1], padded.shape[2]
+        # the reference computes H, W as ((h+32)//32)*32 even when h % 32 == 0
+        # (``eval.py:34``), so a /32-aligned image uses the NEXT multiple for
+        # the SSIM down_ratio/pool grid — not the padded array's actual dims
+        H = (h + factor) // factor * factor
+        W = (w + factor) // factor * factor
         pred = np.clip(pred[:, :h, :w], 0.0, 1.0)
 
         psnr_val = psnr_mse(pred, gt)

@@ -109,7 +109,13 @@ def ssim(pred: np.ndarray, label: np.ndarray, data_range: float = 1.0,
 
 def eval_ssim(pred: np.ndarray, label: np.ndarray, padded_hw) -> np.ndarray:
     """The reference's pooled SSIM: adaptive-avg-pool both images to
-    (H/down_ratio, W/down_ratio) computed from the PADDED dims, then SSIM."""
+    (H/down_ratio, W/down_ratio), then SSIM.
+
+    ``padded_hw`` must be the reference's FORMULA values
+    ``((h+32)//32*32, (w+32)//32*32)`` (``eval.py:34``) — when h or w is
+    already /32-aligned these exceed the true dims, so the pool target grid
+    is LARGER than the image (adaptive pooling then upsamples); this quirk
+    is load-bearing for metric parity on aligned crops."""
     H, W = padded_hw
     down = max(1, round(min(H, W) / 256))
     out_h, out_w = int(H / down), int(W / down)

@@ -79,8 +79,11 @@ def parse_forward_type(forward_type: str):
         flags["out_norm"] = "sigmoid"
     else:
         flags["out_norm"] = "ln"
-    # force_fp32 per base tag (v01/v1/v2 force fp32 unless no32; v3/v4 don't)
-    flags["force_fp32"] = ft in ("v01", "v1", "v2") and not flags["disable_force32"]
+    # force_fp32 per base tag: v1 unconditionally True, v01/v2 True unless
+    # no32, v3/v4 False (``vmamba_layers.py:444-450``)
+    flags["force_fp32"] = ft == "v1" or (
+        ft in ("v01", "v2") and not flags["disable_force32"]
+    )
     flags["base"] = ft
     return flags
 

@@ -421,6 +421,18 @@ def selective_scan_pallas(
     u, delta: (batch, dim, L); A: (dim, N); B, C: (batch, G, N, L) with
     dim % G == 0; D, delta_bias: (dim,) or None.  Returns (batch, dim, L) in
     ``out_dtype`` (fp32 by default — the "oflex" contract).
+
+    Numerical contract (same envelope as the reference CUDA kernels, which
+    are only ever exercised with softplus'd dt): the recurrence must be
+    non-expansive, i.e. ``dt * A <= 0`` elementwise where
+    ``dt = delta + delta_bias`` (post-softplus when ``delta_softplus``).
+    This holds automatically for ``delta_softplus=True`` with ``A < 0`` (the
+    model's live path: ``A = -exp(A_logs)``).  Outside it — e.g.
+    ``delta_softplus=False`` with ``dt < 0`` and ``A < 0`` — the state grows
+    as ``exp(sum dt*A)``; once the O(log T) pair scan's partial products
+    overflow fp32 the kernel returns inf/NaN, exactly where the sequential
+    oracle also overflows (the trajectory itself leaves fp32 range), so no
+    parity is promised there.
     """
     batch, dim, L = u.shape
     if B.ndim == 3:

@@ -117,8 +117,11 @@ def chunk_aggregates(dA, dBu):
     Returns:
       (a_prod, h_local): both (..., N) — the chunk's total decay product and
       its local (zero-prefix) final state.  Composing aggregates left-to-right
-      with ``_combine`` yields exclusive prefixes for each chunk; this is the
-      log-step exchange the multi-chip scan rides over ICI.
+      with ``_combine`` yields exclusive prefixes for each chunk; the
+      multi-chip scan exchanges these tiny aggregates over ICI (one
+      all_gather + a linear fold in :mod:`focalnet_tpu.parallel.seq_scan` —
+      O(devices) work on O(dim*N) data, negligible next to the O(L*dim)
+      local scans at any realistic device count).
     """
     a_scan, b_scan = jax.lax.associative_scan(_combine, (dA, dBu), axis=-1)
     return a_scan[..., -1], b_scan[..., -1]

@@ -46,9 +46,23 @@ def make_optimizer(cfg: TrainConfig):
 
 
 def set_lr(opt_state, lr):
-    """Write the epoch LR into the injected hyperparams (index 1 = adam)."""
-    inner = opt_state[1]
-    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Write the epoch LR into the inject_hyperparams state.
+
+    The state is located structurally (the unique chain element exposing a
+    ``hyperparams['learning_rate']``) rather than by a hard-coded chain
+    index, so reordering :func:`make_optimizer`'s chain cannot silently
+    break LR scheduling."""
+    slots = [
+        s for s in opt_state
+        if isinstance(getattr(s, "hyperparams", None), dict)
+        and "learning_rate" in s.hyperparams
+    ]
+    if len(slots) != 1:
+        raise ValueError(
+            f"expected exactly one injected learning_rate in the optimizer "
+            f"chain, found {len(slots)}"
+        )
+    slots[0].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

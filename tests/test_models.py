@@ -87,6 +87,10 @@ def test_ss2d_forward_type_tags():
     assert f["force_fp32"]
     f = parse_forward_type("v2no32")
     assert not f["force_fp32"]
+    # v1 is force_fp32 UNCONDITIONALLY (vmamba_layers.py:450) — no32 is
+    # honored only by v01/v2
+    assert parse_forward_type("v1")["force_fp32"]
+    assert parse_forward_type("v1no32")["force_fp32"]
     f = parse_forward_type("v4noz")
     assert f["disable_z"]
     f = parse_forward_type("v4softmax")

@@ -150,6 +150,52 @@ def test_eval_ssim_down_ratio():
     assert abs(float(v[0]) - 1.0) < 1e-6
 
 
+def test_adaptive_avg_pool_upsamples_like_torch():
+    # the aligned-dims SSIM quirk pools a 256² image onto a 288² grid —
+    # adaptive pooling with out > in duplicates pixels; match torch exactly
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(3).rand(1, 256, 256, 3).astype(np.float32)
+    got = adaptive_avg_pool(x, 288, 288)
+    t = F.adaptive_avg_pool2d(torch.from_numpy(x.transpose(0, 3, 1, 2)), (288, 288))
+    np.testing.assert_allclose(got, t.numpy().transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-6)
+
+
+def test_eval_ssim_aligned_dims_use_next_multiple():
+    """Reference ``eval.py:34`` computes H = ((h+32)//32)*32 even when
+    h % 32 == 0, so a /32-aligned 256² image uses H = W = 288 for the SSIM
+    down_ratio/pool grid.  The evaluator must pass the formula dims, and the
+    result must differ from pooling on the true dims (the round-1 bug)."""
+    import torch
+    import torch.nn.functional as F
+
+    rs = np.random.RandomState(4)
+    x = rs.rand(1, 256, 256, 3).astype(np.float32)
+    y = np.clip(x + 0.1 * rs.randn(1, 256, 256, 3).astype(np.float32), 0, 1)
+
+    h = w = 256
+    H = (h + 32) // 32 * 32
+    assert (H, H) == (288, 288)
+    got = float(eval_ssim(x, y, (H, H))[0])
+
+    # torch emulation of the reference's exact pipeline at these dims
+    def ref_ssim(a, b, H, W):
+        down = max(1, round(min(H, W) / 256))
+        ta = F.adaptive_avg_pool2d(
+            torch.from_numpy(a.transpose(0, 3, 1, 2)).double(),
+            (int(H / down), int(W / down)))
+        tb = F.adaptive_avg_pool2d(
+            torch.from_numpy(b.transpose(0, 3, 1, 2)).double(),
+            (int(H / down), int(W / down)))
+        return float(ssim(
+            ta.numpy().transpose(0, 2, 3, 1), tb.numpy().transpose(0, 2, 3, 1)
+        )[0])
+
+    np.testing.assert_allclose(got, ref_ssim(x, y, H, H), rtol=1e-5)
+    assert got != float(eval_ssim(x, y, (h, w))[0])
+
+
 def test_psnr():
     x = np.zeros((1, 8, 8, 3), np.float32)
     y = np.full((1, 8, 8, 3), 0.1, np.float32)
@@ -234,6 +280,35 @@ def test_grad_clip_applied():
     updates, _ = tx.update(huge_grads, opt_state, params)
     # after clipping, grad norm is 0.001 -> adam normalizes to ~lr steps
     assert float(jnp.max(jnp.abs(updates["w"]))) <= cfg.learning_rate * 1.01
+
+
+def test_set_lr_locates_injected_state_structurally():
+    """set_lr must find the inject_hyperparams slot by structure (not a
+    hard-coded chain index) so chain reordering fails loudly, not silently."""
+    import optax
+
+    from focalnet_tpu.train.trainer import make_optimizer, set_lr
+
+    cfg = TrainConfig(grad_clip=0.001, learning_rate=1e-4)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+
+    opt_state = set_lr(opt_state, 3e-5)
+    slots = [s for s in opt_state if hasattr(s, "hyperparams")]
+    assert len(slots) == 1
+    assert float(slots[0].hyperparams["learning_rate"]) == pytest.approx(3e-5)
+
+    # reordered chain: still found
+    opt_state_rev = tuple(reversed(opt_state))
+    opt_state_rev = set_lr(opt_state_rev, 7e-5)
+    slots = [s for s in opt_state_rev if hasattr(s, "hyperparams")]
+    assert float(slots[0].hyperparams["learning_rate"]) == pytest.approx(7e-5)
+
+    # no injected LR at all: loud failure
+    plain = optax.adam(1e-4)
+    with pytest.raises(ValueError):
+        set_lr(plain.init(params), 1e-5)
 
 
 def test_evaluate_rectangular_images(tmp_path):
