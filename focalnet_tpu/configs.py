@@ -4,7 +4,7 @@ The reference hardcodes architecture at construction sites and snapshots code
 per variant (SURVEY.md §5.6); here every knob is an explicit dataclass field
 and the 4 trained configurations are named presets (SURVEY.md §0 table):
 
-    baseline  — conv ResBlock x 8 per stage (``results_baseline/code/MIMOUNet.py:8-23``)
+    baseline  — conv ResBlock x 1 per stage (``results_baseline/code/MIMOUNet.py:47``)
     1mlp      — VSSG, gl_merge=True, ps_global=4, ps_local=2, mlp_ratio=1.0
     1mlp_g2   — VSSG, gl_merge=False, ps_global=2  (the live tree; flagship)
     1mlp_g4   — VSSG, gl_merge=False, ps_global=4
@@ -89,7 +89,11 @@ class TrainConfig:
 
 
 PRESETS = {
-    "baseline": ModelConfig(block_type="resblock", num_res=8),
+    # num_res=1: the snapshot's MIMOUNet defaults num_res=1
+    # (``results_baseline/code/MIMOUNet.py:47``) and its main.py passes only
+    # the model name — EBlock/DBlock's num_res=8 DEFAULTS are never used
+    # (verified by cross-framework parity against the snapshot module tree)
+    "baseline": ModelConfig(block_type="resblock", num_res=1),
     "1mlp": ModelConfig(
         gl_merge=True, patch_size_global=4, patch_size_local=2, mlp_ratio=1.0
     ),

@@ -132,8 +132,15 @@ class SCM(nn.Module):
         x = BasicConv(c // 2, 3, act=True, dtype=dt)(x, train=train)
         x = BasicConv(c, 1, act=False, dtype=dt)(x, train=train)
         # InstanceNorm2d(affine=True) == per-sample, per-channel norm over HW
-        # (norm math in fp32 for stability, result cast back)
-        y = nn.GroupNorm(num_groups=c, epsilon=1e-5, dtype=jnp.float32)(x)
+        # (norm math in fp32 for stability, result cast back).
+        # use_fast_variance=False: flax's default E[x^2]-E[x]^2 form loses
+        # ~1e-3 on channels where |mean| >> std (post-conv stems here), while
+        # torch computes the cancellation-free two-pass variance — this was
+        # the dominant term in the cross-framework parity error.
+        y = nn.GroupNorm(
+            num_groups=c, epsilon=1e-5, dtype=jnp.float32,
+            use_fast_variance=False,
+        )(x)
         return y.astype(x.dtype)
 
 

@@ -1,8 +1,9 @@
 """MIMO-UNet assembly — the 3-scale encoder/decoder dehazing network.
 
 Behavioral spec: ``/root/reference/ITS/models/MIMOUNet.py``.  EBlock/DBlock =
-``num_res`` stage modules (VSSG for the SSM variants, ResBlock x8 for the
-baseline) with an outer residual; multi-input (x, x/2, x/4 via nearest
+``num_res`` stage modules (VSSG with an outer residual for the SSM variants;
+ResBlock x1 with NO outer residual for the trained baseline snapshot,
+``results_baseline/code/MIMOUNet.py:8-23,47``); multi-input (x, x/2, x/4 via nearest
 downsampling, ``:124-125``) and multi-output (3 scales, each added to its
 input, ``:129-162``).
 
@@ -71,7 +72,13 @@ class StageStack(nn.Module):
             else:  # baseline conv ResBlocks
                 res = ResBlock(self.channels, dtype=_cfg_dtype(c),
                                name=f"layers_{i}")(res, train=train)
-        return res + x
+        if c.block_type == "vssg":
+            # outer residual exists only in the VSSG tree
+            # (``MIMOUNet.py:22-24``); the baseline snapshot's EBlock/DBlock
+            # return self.layers(x) with residuals INSIDE each ResBlock
+            # (``results_baseline/code/MIMOUNet.py:8-23``)
+            res = res + x
+        return res
 
 
 class MIMOUNet(nn.Module):

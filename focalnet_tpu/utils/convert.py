@@ -70,9 +70,13 @@ def _translate(path: Tuple[str, ...]) -> Tuple[str, str]:
             if m.startswith("FAM"):
                 parts.append("merge")
         elif re.fullmatch(r"BasicConv_\d+", m):
-            # SCM's k-th BasicConv is main.k; elsewhere BasicConv_0 is the
-            # module itself (FAM.merge / feat_extract.N / Convs.N ...)
+            # SCM's k-th BasicConv is main.k; a ResBlock's (baseline preset,
+            # path ...layers.<i>) k-th BasicConv is also main.k; elsewhere
+            # BasicConv_0 is the module itself (FAM.merge / feat_extract.N /
+            # Convs.N ...)
             if parts and parts[-1] in ("SCM1", "SCM2"):
+                parts += ["main", m.split("_")[1]]
+            elif len(parts) >= 2 and parts[-2] == "layers":
                 parts += ["main", m.split("_")[1]]
         elif re.fullmatch(r"GroupNorm_\d+", m):
             parts += ["main", "4"]  # SCM's InstanceNorm slot

@@ -1,0 +1,297 @@
+"""Cross-framework forward parity vs the ACTUAL torch reference.
+
+Loads the reference model tree (``/root/reference/ITS/models``) on torch-CPU
+with pure-PyTorch stand-ins for its CUDA/Triton kernels, converts its real
+``state_dict()`` through :mod:`focalnet_tpu.utils.convert`, and asserts the
+flax forward agrees at fp32.  This proves the converter's name/layout mapping
+against the genuine reference module tree — making the 0.05 dB eval-parity
+gate a data-availability problem only (VERDICT round 1, item 3).
+
+How the reference is made importable without its GPU deps:
+
+- ``mamba_ssm`` / ``timm`` / ``fvcore`` are stubbed in ``sys.modules``
+  (the live forward path touches none of them; timm's DropPath is identity
+  in eval mode, which the stub preserves).
+- ``csm_triton`` is replaced by a placeholder; after import the module's
+  ``CrossScanTriton``/``CrossMergeTriton`` globals are pointed at the
+  reference's OWN pure-PyTorch ``CrossScan``/``CrossMerge`` fallbacks
+  (``vmamba_layers.py:29-71``), which its autograd tests treat as ground
+  truth for the Triton kernels.
+- ``SelectiveScanOflex`` is replaced by a freshly written sequential torch
+  recurrence (behavioral spec:
+  ``kernels/selective_scan/test_selective_scan.py:168-234``).
+- Hard-coded ``device='cuda'`` constructor kwargs in the reference source are
+  rewritten to ``'cpu'`` at load time (the reference is only runnable on
+  CUDA machines as-is).
+
+The reference source is executed from its mounted location — nothing is
+copied into this repo.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_MODELS = "/root/reference/ITS/models"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MODELS), reason="reference tree not mounted"
+)
+
+
+# ------------------------------------------------------------------ stubs
+
+def _install_stub_modules():
+    import torch
+
+    if "mamba_ssm" not in sys.modules:
+        m = types.ModuleType("mamba_ssm")
+
+        class Mamba:  # only MambaSS2D (unused path) instantiates this
+            def __init__(self, *a, **k):
+                raise RuntimeError("mamba_ssm stub: not available on CPU")
+
+        m.Mamba = Mamba
+        sys.modules["mamba_ssm"] = m
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(torch.nn.Module):
+            """Identity in eval mode — all this test needs."""
+
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1.0 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+                return x * mask / keep
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a * std, b * std)
+            return tensor
+
+        timm_layers.DropPath = DropPath
+        timm_layers.trunc_normal_ = trunc_normal_
+        timm.models = timm_models
+        timm_models.layers = timm_layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = timm_layers
+
+    if "fvcore" not in sys.modules:
+        fvcore = types.ModuleType("fvcore")
+        fvcore_nn = types.ModuleType("fvcore.nn")
+        for name in ("FlopCountAnalysis", "flop_count_str", "flop_count",
+                     "parameter_count"):
+            setattr(fvcore_nn, name, lambda *a, **k: None)
+        fvcore.nn = fvcore_nn
+        sys.modules["fvcore"] = fvcore
+        sys.modules["fvcore.nn"] = fvcore_nn
+
+
+def _torch_seq_selective_scan(u, delta, A, B, C, D=None, delta_bias=None,
+                              delta_softplus=False):
+    """Sequential S6 recurrence in torch (fresh implementation of the spec at
+    ``test_selective_scan.py:168-234``): h_i = exp(dt_i A) h_{i-1} + dt_i B_i
+    u_i; y_i = <C_i, h_i> + D u_i.  fp32 state, fp32 out (the oflex
+    contract)."""
+    import torch
+
+    u = u.float()
+    delta = delta.float()
+    if delta_bias is not None:
+        delta = delta + delta_bias.float()[None, :, None]
+    if delta_softplus:
+        delta = torch.nn.functional.softplus(delta)
+    b, d, l = u.shape
+    n = A.shape[1]
+    g = B.shape[1]
+    Bx = B.float().repeat_interleave(d // g, dim=1)  # (b, d, n, l)
+    Cx = C.float().repeat_interleave(d // g, dim=1)
+    dA = torch.exp(delta.unsqueeze(2) * A.float()[None, :, :, None])
+    dBu = delta.unsqueeze(2) * Bx * u.unsqueeze(2)
+    h = torch.zeros(b, d, n, dtype=torch.float32)
+    ys = []
+    for i in range(l):
+        h = dA[..., i] * h + dBu[..., i]
+        ys.append((h * Cx[..., i]).sum(-1))
+    y = torch.stack(ys, dim=-1)  # (b, d, l)
+    if D is not None:
+        y = y + u * D.float()[None, :, None]
+    return y
+
+
+class _FakeSelectiveScanOflex:
+    """Drop-in for the reference's SelectiveScanOflex autograd Function
+    (forward only — this is a forward-parity test)."""
+
+    @staticmethod
+    def apply(u, delta, A, B, C, D=None, delta_bias=None,
+              delta_softplus=False, nrows=1, backnrows=1, oflex=True):
+        import torch
+
+        with torch.no_grad():
+            return _torch_seq_selective_scan(
+                u, delta, A, B, C, D, delta_bias, delta_softplus
+            )
+
+
+# ------------------------------------------------------- reference loader
+
+REF_ITS = "/root/reference/ITS"
+_REF_CACHE = {}
+
+
+def _load_ref_package(variant="1mlp_g2"):
+    """Exec the reference model sources as package ``refmodels_<variant>``
+    with device='cuda' rewritten to 'cpu' and kernel stand-ins patched in.
+
+    ``1mlp_g2`` is the live tree (its snapshot is diff-identical);
+    ``1mlp`` / ``1mlp_g4`` / ``baseline`` load MIMOUNet.py (+ layers.py)
+    from the corresponding ``results_<variant>/code`` snapshot, sharing the
+    live ``vmamba_layers.py`` (the snapshots ship none and differ only in
+    VSSG constructor kwargs / the ResBlock path)."""
+    if variant in _REF_CACHE:
+        return _REF_CACHE[variant]
+    _install_stub_modules()
+
+    snap = os.path.join(REF_ITS, f"results_{variant}", "code")
+    src_dirs = [REF_MODELS] if variant == "1mlp_g2" else [snap, REF_MODELS]
+
+    pkgname = f"refmodels_{variant}"
+    pkg = types.ModuleType(pkgname)
+    pkg.__path__ = [REF_MODELS]
+    pkg.__package__ = pkgname
+    sys.modules[pkgname] = pkg
+
+    # placeholder so vmamba_layers' `from .csm_triton import …` binds without
+    # triton; the names are re-pointed at the pure-PyTorch fallbacks below
+    csm = types.ModuleType(f"{pkgname}.csm_triton")
+    csm.CrossScanTriton = None
+    csm.CrossMergeTriton = None
+    csm.CrossScanTriton1b1 = None
+    sys.modules[f"{pkgname}.csm_triton"] = csm
+
+    def load(name, dirs):
+        path = next(
+            os.path.join(d, f"{name}.py") for d in dirs
+            if os.path.isfile(os.path.join(d, f"{name}.py"))
+        )
+        with open(path) as f:
+            src = f.read()
+        src = src.replace("'cuda'", "'cpu'").replace('"cuda"', '"cpu"')
+        mod = types.ModuleType(f"{pkgname}.{name}")
+        mod.__package__ = pkgname
+        mod.__file__ = path
+        sys.modules[f"{pkgname}.{name}"] = mod
+        exec(compile(src, path, "exec"), mod.__dict__)
+        return mod
+
+    vm = load("vmamba_layers", [REF_MODELS])
+    vm.CrossScanTriton = vm.CrossScan
+    vm.CrossMergeTriton = vm.CrossMerge
+    vm.CrossScanTriton1b1 = vm.CrossScan
+    vm.SelectiveScanOflex = _FakeSelectiveScanOflex
+    lay = load("layers", src_dirs)
+    mimo = load("MIMOUNet", src_dirs)
+    # layers/MIMOUNet re-imported vmamba names via *; re-point those too
+    for mod in (lay, mimo):
+        for n in ("CrossScanTriton", "CrossMergeTriton", "CrossScanTriton1b1",
+                  "SelectiveScanOflex"):
+            if hasattr(mod, n):
+                setattr(mod, n, getattr(vm, n))
+    _REF_CACHE[variant] = (vm, mimo)
+    return _REF_CACHE[variant]
+
+
+# ------------------------------------------------------------------ tests
+
+def test_torch_seq_scan_matches_jax_oracle():
+    """Anchor the torch stand-in itself against our jax oracle before using
+    it to define the reference forward."""
+    import torch
+
+    import jax
+    from focalnet_tpu.ops.scan_ref import selective_scan_ref
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 7)
+    b, d, n, l, g = 2, 8, 4, 96, 2
+    u = np.asarray(jax.random.normal(ks[0], (b, d, l))) * 0.5
+    delta = np.asarray(0.5 * jax.random.uniform(ks[1], (b, d, l)))
+    A = np.asarray(-0.2 - jax.random.uniform(ks[2], (d, n)) * 2.0)
+    B = np.asarray(jax.random.normal(ks[3], (b, g, n, l))) * 0.5
+    C = np.asarray(jax.random.normal(ks[4], (b, g, n, l))) * 0.5
+    D = np.asarray(jax.random.normal(ks[5], (d,)))
+    bias = np.asarray(0.3 * jax.random.normal(ks[6], (d,)))
+
+    got = _torch_seq_selective_scan(
+        torch.from_numpy(u), torch.from_numpy(delta), torch.from_numpy(A),
+        torch.from_numpy(B), torch.from_numpy(C), torch.from_numpy(D),
+        torch.from_numpy(bias), True,
+    ).numpy()
+    ref = np.asarray(selective_scan_ref(u, delta, A, B, C, D, bias, True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("preset,hw", [
+    ("1mlp_g2", 64),   # live tree / flagship
+    ("1mlp", 64),      # gl_merge dual-branch (GlobalLocalScan)
+    ("1mlp_g4", 64),
+    ("baseline", 64),  # original MIMO-UNet: 1 ResBlock/stage, no outer residual
+])
+def test_full_model_forward_parity_vs_torch_reference(preset, hw):
+    """build the real reference MIMOUNet (torch CPU), convert its state dict,
+    and require flax forward agreement on all 3 multiscale outputs."""
+    import torch
+
+    import jax
+    from focalnet_tpu.models import build_net
+    from focalnet_tpu.utils.convert import convert_state_dict
+
+    _, mimo = _load_ref_package(preset)
+    torch.manual_seed(0)
+    if preset == "baseline":
+        # the baseline snapshot is the original MIMO-UNet factory signature
+        tmodel = mimo.build_net("MIMO-UNet")
+    else:
+        tmodel = mimo.build_net()
+    tmodel.eval()
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    model = build_net(preset, scan_backend="chunked")
+    x = np.random.RandomState(0).rand(1, hw, hw, 3).astype(np.float32)
+    template = model.init({"params": jax.random.PRNGKey(0)},
+                          np.zeros((1, hw, hw, 3), np.float32))
+    params, report = convert_state_dict(sd, template)
+    assert not report["missing"], report["missing"][:10]
+    assert not report["unused"], report["unused"][:10]
+
+    with torch.no_grad():
+        t_outs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    j_outs = model.apply(params, x)
+
+    assert len(t_outs) == len(j_outs) == 3
+    for i, (t, j) in enumerate(zip(t_outs, j_outs)):
+        t = t.numpy().transpose(0, 2, 3, 1)
+        j = np.asarray(j)
+        assert t.shape == j.shape, (i, t.shape, j.shape)
+        # fp32 accumulation-order noise across 12 scan cores (torch
+        # sequential loop vs chunked jax scan) reaches ~1.5e-4 max abs; the
+        # reference's own fp32 kernel tolerance is atol 2e-3
+        np.testing.assert_allclose(
+            j, t, rtol=1e-3, atol=3e-4,
+            err_msg=f"output scale {i}",
+        )
