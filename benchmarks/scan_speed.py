@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--G", type=int, default=4)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--chunks", type=int, nargs="+", default=[512],
+                   help="pallas chunk sizes to sweep (T grid dimension)")
     args = p.parse_args(argv)
 
     import jax
@@ -39,7 +41,11 @@ def main(argv=None):
     from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
     from focalnet_tpu.ops.scan_chunked import selective_scan_chunked
 
-    impls = {"pallas": selective_scan_pallas, "chunked_xla": selective_scan_chunked}
+    import functools
+
+    impls = {"chunked_xla": selective_scan_chunked}
+    for c in args.chunks:
+        impls[f"pallas_T{c}"] = functools.partial(selective_scan_pallas, chunk=c)
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     for L in args.L:

@@ -43,9 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEF_CHUNK = 512
-# NR = N * D_blk row cap: the bwd kernel keeps ~10 live (NR, T) fp32 tiles
-# (a/b scans, h, h_prev, adjoint G, ...) and must fit the 16MB VMEM budget
-MAX_ROWS = 512
+# NR * T element cap per tile: the bwd kernel keeps ~10 live (NR, T) fp32
+# tiles (a/b scans, h, h_prev, adjoint G, ...) and must fit the 16MB scoped
+# VMEM budget -> ~1MB per tile = 256Ki fp32 elements (NR=512 at T=512)
+MAX_TILE = 512 * 512
 
 
 def _interpret():
@@ -53,10 +54,14 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _pair_scan_fwd(a, b, col_ids, T):
+def _pair_scan_fwd(a, b, col_ids, T, need_a=True):
     """Inclusive scan of (a, b) pairs along lanes (axis 1), left-to-right.
 
     a_scan_i = prod_{j<=i} a_j;  b_scan_i = sum_{j<=i} (prod_{j<k<=i} a_k) b_j.
+
+    With ``need_a=False`` the final a-update (1 roll + 1 mul + 1 select per
+    tile) is skipped — the returned ``a`` is then only scanned up to the
+    penultimate level and must not be used by the caller.
     """
     shift = 1
     while shift < T:
@@ -64,13 +69,17 @@ def _pair_scan_fwd(a, b, col_ids, T):
         b_sh = pltpu.roll(b, shift, 1)
         mask = col_ids >= shift
         b = jnp.where(mask, b + a * b_sh, b)
-        a = jnp.where(mask, a * a_sh, a)
+        if need_a or shift * 2 < T:
+            a = jnp.where(mask, a * a_sh, a)
         shift *= 2
     return a, b
 
 
 def _pair_scan_rev(a_next, g, col_ids, T):
-    """Inclusive right-to-left scan: G_i = e_i + a_next_i * G_{i+1} composed."""
+    """Inclusive right-to-left scan: G_i = e_i + a_next_i * G_{i+1} composed.
+
+    Only ``g`` is returned, so the final a-update is always skipped.
+    """
     shift = 1
     while shift < T:
         # left-roll by `shift` == circular right-roll by T - shift (masked)
@@ -78,7 +87,8 @@ def _pair_scan_rev(a_next, g, col_ids, T):
         g_sh = pltpu.roll(g, T - shift, 1)
         mask = col_ids < (T - shift)
         g = jnp.where(mask, g + a_next * g_sh, g)
-        a_next = jnp.where(mask, a_next * a_sh, a_next)
+        if shift * 2 < T:
+            a_next = jnp.where(mask, a_next * a_sh, a_next)
         shift *= 2
     return g
 
@@ -155,8 +165,10 @@ def _fwd_kernel(
     b = du_rep * _rep_rows(Bm, D_blk)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (NR, T), 1)
-    a_sc, b_sc = _pair_scan_fwd(a, b, col_ids, T)
-    h = b_sc + a_sc * h_state[...]                           # (NR, T)
+    # fold the carried state into the first column (h_0 = a_0 h_in + b_0):
+    # the scanned b IS h directly and the a-scan's final level is dead
+    b = jnp.where(col_ids == 0, b + a * h_state[...], b)
+    _, h = _pair_scan_fwd(a, b, col_ids, T, need_a=False)    # (NR, T)
     h_state[...] = h[:, T - 1 : T]
 
     y = _block_sum(h * _rep_rows(Cm, D_blk), N, D_blk)       # (D_blk, T)
@@ -204,9 +216,10 @@ def _bwd_kernel(
     a = jnp.exp(dt_rep * A_col)
     b = du_in_rep * B_full
 
-    # rematerialize forward states for this chunk
-    a_sc, b_sc = _pair_scan_fwd(a, b, col_ids, T)
-    h = b_sc + a_sc * h_in                                   # (NR, T)
+    # rematerialize forward states for this chunk (carry folded into column
+    # 0 exactly as in the forward kernel)
+    b_fold = jnp.where(col_ids == 0, b + a * h_in, b)
+    _, h = _pair_scan_fwd(a, b_fold, col_ids, T, need_a=False)  # (NR, T)
     h_prev = jnp.where(col_ids == 0, h_in, pltpu.roll(h, 1, 1))
 
     # reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1}
@@ -245,9 +258,9 @@ def _pick_chunk(L, chunk):
     return 128
 
 
-def _pick_dblk(D, N):
-    """Largest channel block with N * D_blk <= MAX_ROWS that divides D."""
-    cap = max(1, MAX_ROWS // max(N, 1))
+def _pick_dblk(D, N, T):
+    """Largest channel block with N * D_blk * T <= MAX_TILE that divides D."""
+    cap = max(1, MAX_TILE // (max(N, 1) * max(T, 1)))
     for d in range(min(D, cap), 0, -1):
         if D % d == 0:
             return d
@@ -267,7 +280,7 @@ def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
     N = A.shape[-1]
     T = _pick_chunk(L, chunk)
     Lp = pl.cdiv(L, T) * T
-    D_blk = _pick_dblk(D, N)
+    D_blk = _pick_dblk(D, N, T)
     nD = D // D_blk
     nL = Lp // T
     # A pre-flattened to n-major rows per d-block: (G, nD, NR, 1) with
