@@ -65,12 +65,17 @@ def _local_block(dA, dBu, C, axis_name: str):
 def selective_scan_seq_sharded(
     u, delta, A, B, C,
     D=None, delta_bias=None, delta_softplus=False,
-    *, mesh: Mesh, axis: str = "seq", out_dtype=jnp.float32,
+    *, mesh: Mesh, axis: str = "seq", batch_axis: str = None,
+    out_dtype=jnp.float32,
 ):
     """Selective scan with L sharded over ``mesh`` axis ``axis``.
 
     Shapes as in :mod:`focalnet_tpu.ops.scan_ref`; L must divide the axis
     size.  Returns y (batch, dim, L) sharded the same way.
+
+    ``batch_axis`` additionally shards the batch dim over a second mesh axis
+    (dp x sp composition on a 2-D mesh): the prefix all_gather then runs only
+    within each data-shard's ``axis`` subgroup.
     """
     in_dtype = u.dtype
     u, delta, A, B, C, D = _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus)
@@ -81,13 +86,13 @@ def selective_scan_seq_sharded(
     dA = jnp.exp(delta[..., None, :] * A[None, :, :, None])  # (batch, dim, N, L)
     dBu = delta[..., None, :] * Bx * u[..., None, :]
 
-    spec = P(None, None, None, axis)
+    spec = P(batch_axis, None, None, axis)
     body = functools.partial(_local_block, axis_name=axis)
     y = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs=P(None, None, axis),
+        out_specs=P(batch_axis, None, axis),
     )(dA, dBu, Cx)
 
     if D is not None:

@@ -136,6 +136,44 @@ def test_tp_channel_sharded_scan_parity():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_two_axis_mesh_dp_sp_compose():
+    """dp x sp on one 2x4 mesh: batch sharded over ``data`` while the scan's
+    L is sharded over ``seq`` — values AND gradients must match the
+    single-device oracle (the strongest multi-chip correctness statement
+    available without hardware; VERDICT r1 item 10)."""
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    batch, dim, N, L, G = 4, 8, 4, 256, 1
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    u = jax.random.normal(ks[0], (batch, dim, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (batch, dim, L))
+    A = -1.0 - jax.random.uniform(ks[2], (dim, N))
+    B = jax.random.normal(ks[3], (batch, G, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (batch, G, N, L)) * 0.5
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data", None, "seq"))
+    u_s = jax.device_put(u, sh)
+    delta_s = jax.device_put(delta, sh)
+
+    def loss(fn):
+        return lambda u, d: jnp.sum(jnp.sin(fn(u, d)))
+
+    sharded = jax.jit(loss(lambda u, d: selective_scan_seq_sharded(
+        u, d, A, B, C, mesh=mesh, axis="seq", batch_axis="data")))
+    oracle = loss(lambda u, d: selective_scan_ref(u, d, A, B, C))
+
+    np.testing.assert_allclose(
+        float(sharded(u_s, delta_s)), float(oracle(u, delta)), rtol=1e-5
+    )
+    g_s = jax.jit(jax.grad(sharded, argnums=(0, 1)))(u_s, delta_s)
+    g_o = jax.grad(oracle, argnums=(0, 1))(u, delta)
+    for name, a, b in zip(("du", "ddelta"), g_s, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_make_global_batch_single_process():
     """Single-process path == shard_batch (multi-host branch can't run here)."""
     from focalnet_tpu.parallel import make_global_batch, shard_batch

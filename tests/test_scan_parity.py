@@ -96,6 +96,66 @@ def test_gradient_parity(backend, itype, L):
         )
 
 
+# gradient tolerance ladder: the reference widens per-tensor grad tolerances
+# by ~2-10x over the forward ones (test_selective_scan.py:490-502)
+GRAD_TOLS = {
+    jnp.float16: dict(rtol=1e-2, atol=5e-2),
+    jnp.bfloat16: dict(rtol=5e-2, atol=2e-1),
+}
+
+
+@pytest.mark.parametrize("backend", ["chunked", "pallas"])
+@pytest.mark.parametrize("itype", [jnp.float16, jnp.bfloat16])
+def test_gradient_parity_reduced_precision(backend, itype):
+    """Grads with fp16/bf16 inputs vs the fp32 oracle, with the reference's
+    widened tolerance ladder (``test_selective_scan.py:373-400,490-502``:
+    itype sweeps fp32/fp16/bf16 through the gradient checks too)."""
+    batch, G, N, L = 2, 2, 4, 256
+    dim = 4 * G
+    key = jax.random.PRNGKey(4)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, itype, True, True
+    )
+
+    def loss(fn):
+        def f(u, delta, A, B, C, D, bias):
+            y = fn(u, delta, A, B, C, D, bias, True)
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape) / y.size
+            return jnp.sum(y.astype(jnp.float32) * jnp.sin(w))
+        return f
+
+    # oracle runs on fp32 copies of the same values
+    args32 = tuple(
+        t.astype(jnp.float32) if t is not None and t.dtype == itype else t
+        for t in (u, delta, A, B, C, D, bias)
+    )
+    g_ref = jax.grad(loss(selective_scan_ref), argnums=tuple(range(7)))(*args32)
+    g_got = jax.grad(loss(BACKENDS[backend]), argnums=tuple(range(7)))(
+        u, delta, A, B, C, D, bias
+    )
+    tol = GRAD_TOLS[itype]
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"]
+    for name, r, g in zip(names, g_ref, g_got):
+        np.testing.assert_allclose(
+            np.asarray(g, dtype=np.float32), np.asarray(r), err_msg=name, **tol
+        )
+
+
+@pytest.mark.parametrize("L", [2048, 4096])
+def test_forward_parity_long_sequence(L):
+    """Long-L forward vs the oracle (reference sweeps seqlen up to 4096,
+    ``test_selective_scan.py:376``); small dims keep CPU time sane."""
+    batch, dim, N, G = 1, 4, 4, 1
+    key = jax.random.PRNGKey(5)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, jnp.float32, True, True
+    )
+    ref = selective_scan_ref(u, delta, A, B, C, D, bias, True)
+    got = selective_scan_pallas(u, delta, A, B, C, D, bias, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=6e-4, atol=2e-3)
+
+
 def test_ndstate_specialization():
     """N == 1 path: the reference's selective_scan_cuda_ndstate semantics."""
     batch, dim, L, G = 2, 8, 128, 1
