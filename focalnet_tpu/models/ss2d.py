@@ -153,7 +153,7 @@ class SS2D(nn.Module):
     initialize: str = "v0"
     forward_type: str = "v4"
     scan_backend: str = "auto"
-    scan_chunk: int = 512
+    scan_chunk: int = 2048
     dtype: Any = None  # computation dtype; scan state stays fp32
 
     @property
@@ -281,6 +281,7 @@ class SS2D(nn.Module):
             delta_softplus=True,
             out_dtype=jnp.float32,
             backend=self.scan_backend,
+            chunk=self.scan_chunk,
         )  # (B, K*D, L) fp32
 
         ys = jnp.swapaxes(ys.reshape(B, K, D, L), 2, 3)  # (B, K, L, D)

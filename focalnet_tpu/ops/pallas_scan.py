@@ -12,11 +12,19 @@ re-derived for the TPU memory/compute model rather than translated:
   through shared memory.
 - The N state dimension is VECTORIZED into sublane rows: the kernel works on
   (NR, T) tiles with NR = N * D_blk rows in n-major order (row r = n*D_blk+d),
-  so the whole recurrence for every state runs as ONE O(log T) Hillis-Steele
-  pair scan over the monoid ``(a2, b2) ∘ (a1, b1) = (a1*a2, a1*b2 + b2)``
-  using lane rotations + masking on the VPU.  (An earlier revision looped
-  over N in Python, unrolling 16 separate scans — 16x the Mosaic program
-  size and ~3 min of compile per shape.)
+  so the whole recurrence for every state runs as ONE pair scan over the
+  monoid ``(a2, b2) ∘ (a1, b1) = (a1*a2, a1*b2 + b2)`` on the VPU.  (An
+  earlier revision looped over N in Python, unrolling 16 separate scans —
+  16x the Mosaic program size and ~3 min of compile per shape.)
+- Within a chunk the scan is WORK-EFFICIENT, not Hillis-Steele: each T-lane
+  chunk is pre-interleaved on the host (element q*R+r at lane r*128+q, an XLA
+  transpose fused into the surrounding graph) so that R consecutive elements
+  share a lane across R aligned 128-lane blocks.  The kernel then runs a
+  sequential O(T) in-group scan across blocks (slice fma's, no rolls), one
+  log2(128)-level Hillis-Steele over the per-group aggregates (1/R of the
+  data), and a one-fma-per-block carry apply — ~9 full-width VPU passes at
+  T=2048 where the plain full-width scan needs ~66 (measured 1.9x faster
+  fwd, 2.7x fwd+bwd at the model's hot shape).  See _ilv_fwd/_ilv_rev.
 - Channels are additionally blocked (D_blk, a grid dimension) to bound VMEM.
 - State and accumulation are fp32 regardless of input dtype, and the output
   may be fp32 from bf16 inputs (the "oflex" ``out_float`` contract,
@@ -42,11 +50,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEF_CHUNK = 512
+DEF_CHUNK = 2048
 # NR * T element cap per tile: the bwd kernel keeps ~10 live (NR, T) fp32
 # tiles (a/b scans, h, h_prev, adjoint G, ...) and must fit the 16MB scoped
 # VMEM budget -> ~1MB per tile = 256Ki fp32 elements (NR=512 at T=512)
 MAX_TILE = 512 * 512
+# lane-block width for the interleaved scan (one native TPU lane tile); a
+# T-lane chunk is R = T/BLK blocks, scanned work-efficiently (see _ilv_fwd)
+BLK = 128
 
 
 def _interpret():
@@ -91,6 +102,110 @@ def _pair_scan_rev(a_next, g, col_ids, T):
             a_next = jnp.where(mask, a_next * a_sh, a_next)
         shift *= 2
     return g
+
+
+def _blocks(x, T):
+    """Split an (NR, T) tile into R = T/BLK aligned (NR, BLK) lane blocks."""
+    W = min(T, BLK)
+    return [x[:, r * W : (r + 1) * W] for r in range(T // W)], W
+
+
+def _ilv_fwd(a, b, col_ids, T):
+    """Inclusive pair scan of an INTERLEAVED chunk (left-to-right).
+
+    The chunk's T lanes hold its T sequence elements in the interleaved
+    layout written by :func:`_ilv` — lane r*W + q (block r of R = T/W, W =
+    128) holds element q*R + r, so the R consecutive elements of "group" q
+    sit at the SAME lane q of the R blocks.  The scan then decomposes into
+
+      phase 1: sequential in-group scan across the R blocks — (R-1) slice
+               fma/mul pairs, work-efficient O(T) (no rolls, no masks);
+      phase 2: one W-lane Hillis-Steele pair scan over the group aggregates
+               (block R-1) — log2(W) roll levels on 1/R of the data;
+      phase 3: one fma per block applying each group's exclusive carry.
+
+    vs. the plain full-width scan's 2*log2(T) full-width roll levels: at
+    T=1024 this is ~9 full-width op equivalents instead of ~60.  Returns the
+    scanned state blocks (list of R (NR, W) arrays, block-major).
+    """
+    a_bl, W = _blocks(a, T)
+    R = len(a_bl)
+    if R == 1:
+        return [_pair_scan_fwd(a, b, col_ids, T, need_a=False)[1]]
+    b_bl, _ = _blocks(b, T)
+    # phase 1: A[r] / Bc[r] = in-group inclusive (prefix product, scan state)
+    A, Bc = [a_bl[0]], [b_bl[0]]
+    for r in range(1, R):
+        Bc.append(b_bl[r] + a_bl[r] * Bc[-1])
+        A.append(a_bl[r] * A[-1])
+    # phase 2: scan the per-group aggregates across the W groups
+    ids = jax.lax.broadcasted_iota(jnp.int32, A[-1].shape, 1)
+    _, c_incl = _pair_scan_fwd(A[-1], Bc[-1], ids, W, need_a=False)
+    c_excl = jnp.where(ids == 0, 0.0, pltpu.roll(c_incl, 1, 1))
+    # phase 3: apply each group's incoming carry
+    return [Bc[r] + A[r] * c_excl for r in range(R)]
+
+
+def _ilv_rev(a, e, col_ids, T):
+    """Right-to-left adjoint scan G_i = e_i + a_{i+1} G_{i+1}, interleaved.
+
+    Mirror of :func:`_ilv_fwd`; ``a`` is the RAW per-element decay (not
+    pre-shifted): the one-element shift is resolved blockwise (element i+1 of
+    (q, r) is (q, r+1), or (q+1, 0) past the block boundary).  The caller
+    folds any incoming right-carry into ``e``'s last element.  Returns the
+    adjoint blocks (list of R (NR, W) arrays).
+    """
+    a_bl, W = _blocks(a, T)
+    R = len(a_bl)
+    if R == 1:
+        a_next = jnp.where(
+            col_ids == T - 1, 0.0, pltpu.roll(a, T - 1, 1)
+        )
+        return [_pair_scan_rev(a_next, e, col_ids, T)]
+    e_bl, _ = _blocks(e, T)
+    # phase 1: in-group suffix scan G[r] and suffix products P[r] (excluding
+    # the element's own a): G[r] = e_r + a_{r+1} G[r+1], P[r] = a_{r+1} P[r+1]
+    G = [None] * R
+    P = [None] * R
+    G[R - 1] = e_bl[R - 1]
+    for r in range(R - 2, -1, -1):
+        G[r] = e_bl[r] + a_bl[r + 1] * G[r + 1]
+        P[r] = a_bl[r + 1] * P[r + 1] if r < R - 2 else a_bl[R - 1]
+    # phase 2: macro reverse scan over groups.  Path from a group's first
+    # element to the NEXT group's first element: P[0] * a_block0(next group).
+    ids = jax.lax.broadcasted_iota(jnp.int32, G[0].shape, 1)
+    last = ids == W - 1
+    a0_next = pltpu.roll(a_bl[0], W - 1, 1)  # lane q -> a at (q+1, block 0)
+    a_next = jnp.where(last, 0.0, P[0] * a0_next)
+    Ghat = _pair_scan_rev(a_next, G[0], ids, W)  # true G at (q, 0)
+    # phase 3: carry from the next group's first element into every block
+    cn = jnp.where(last, 0.0, pltpu.roll(a_bl[0] * Ghat, W - 1, 1))
+    out = [G[r] + P[r] * cn for r in range(R - 1)]
+    out.append(G[R - 1] + cn)
+    return out
+
+
+def _ilv(x, T):
+    """Host-side interleave of each T-lane chunk: element q*R + r -> lane
+    r*W + q (W = 128, R = T/W).  Its own inverse is :func:`_dilv`."""
+    W = min(T, BLK)
+    R = T // W
+    if R == 1:
+        return x
+    lead, L = x.shape[:-1], x.shape[-1]
+    x = x.reshape(*lead, L // T, W, R)
+    return jnp.swapaxes(x, -1, -2).reshape(*lead, L)
+
+
+def _dilv(x, T):
+    """Inverse of :func:`_ilv` (lane r*W + q -> element q*R + r)."""
+    W = min(T, BLK)
+    R = T // W
+    if R == 1:
+        return x
+    lead, L = x.shape[:-1], x.shape[-1]
+    x = x.reshape(*lead, L // T, R, W)
+    return jnp.swapaxes(x, -1, -2).reshape(*lead, L)
 
 
 def _rows(x, N):
@@ -168,8 +283,9 @@ def _fwd_kernel(
     # fold the carried state into the first column (h_0 = a_0 h_in + b_0):
     # the scanned b IS h directly and the a-scan's final level is dead
     b = jnp.where(col_ids == 0, b + a * h_state[...], b)
-    _, h = _pair_scan_fwd(a, b, col_ids, T, need_a=False)    # (NR, T)
-    h_state[...] = h[:, T - 1 : T]
+    hb = _ilv_fwd(a, b, col_ids, T)                          # R x (NR, W)
+    h = hb[0] if len(hb) == 1 else jnp.concatenate(hb, axis=1)
+    h_state[...] = h[:, T - 1 : T]  # element T-1 = global last lane
 
     y = _block_sum(h * _rep_rows(Cm, D_blk), N, D_blk)       # (D_blk, T)
     if has_D:
@@ -219,15 +335,23 @@ def _bwd_kernel(
     # rematerialize forward states for this chunk (carry folded into column
     # 0 exactly as in the forward kernel)
     b_fold = jnp.where(col_ids == 0, b + a * h_in, b)
-    _, h = _pair_scan_fwd(a, b_fold, col_ids, T, need_a=False)  # (NR, T)
-    h_prev = jnp.where(col_ids == 0, h_in, pltpu.roll(h, 1, 1))
+    hb = _ilv_fwd(a, b_fold, col_ids, T)                     # R x (NR, W)
+    if len(hb) == 1:
+        h = hb[0]
+        h_prev = jnp.where(col_ids == 0, h_in, pltpu.roll(h, 1, 1))
+    else:
+        # element i-1 of (q, r): (q, r-1) for r > 0, else (q-1, R-1)
+        pids = jax.lax.broadcasted_iota(jnp.int32, hb[0].shape, 1)
+        hp0 = jnp.where(pids == 0, h_in, pltpu.roll(hb[-1], 1, 1))
+        h_prev = jnp.concatenate([hp0] + hb[:-1], axis=1)
+        h = jnp.concatenate(hb, axis=1)
 
     # reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1}
     e = C_full * dy_rep
     e = jnp.where(last_col, e + g_state[...], e)
-    a_next = jnp.where(last_col, 0.0, pltpu.roll(a, T - 1, 1))
-    G = _pair_scan_rev(a_next, e, col_ids, T)                # (NR, T)
-    g_state[...] = (a * G)[:, 0:1]
+    Gb = _ilv_rev(a, e, col_ids, T)                          # R x (NR, W)
+    G = Gb[0] if len(Gb) == 1 else jnp.concatenate(Gb, axis=1)
+    g_state[...] = a[:, 0:1] * G[:, 0:1]  # element 0 = global lane 0
 
     Gh_a = G * h_prev * a
     du = _block_sum(G * dt_rep * B_full, N, D_blk)           # (D_blk, T)
@@ -252,7 +376,7 @@ def _bwd_kernel(
 
 def _pick_chunk(L, chunk):
     """Largest lane-aligned chunk size dividing the padded L."""
-    for T in (chunk, 512, 256, 128):
+    for T in (chunk, 2048, 1024, 512, 256, 128):
         if T <= chunk and L % T == 0:
             return T
     return 128
@@ -290,9 +414,11 @@ def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
     )
     D4 = Dskip.reshape(G, nD, D_blk, 1)
     bias4 = delta_bias.reshape(G, nD, D_blk, 1)
+    # pad to a chunk multiple, then interleave each chunk for the kernel's
+    # block-scan layout (element q*R + r at lane r*W + q, see _ilv_fwd)
     args = (
-        _pad_L(u, Lp), _pad_L(delta, Lp), A_nm,
-        _pad_L(B, Lp), _pad_L(C, Lp), D4, bias4,
+        _ilv(_pad_L(u, Lp), T), _ilv(_pad_L(delta, Lp), T), A_nm,
+        _ilv(_pad_L(B, Lp), T), _ilv(_pad_L(C, Lp), T), D4, bias4,
     )
     return args, (Bsz, G, D, L, N, T, Lp, D_blk, nD, nL)
 
@@ -337,7 +463,7 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dt
         scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
         interpret=_interpret(),
     )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4)
-    return y[..., :L], hchk
+    return _dilv(y, T)[..., :L], hchk
 
 
 def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk):
@@ -352,7 +478,7 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, res, dy):
     )
     Bsz, G, D, L, N, T, Lp, D_blk, nD, nL = dims
     NR = N * D_blk
-    dy_p = _pad_L(dy.astype(jnp.float32), Lp)
+    dy_p = _ilv(_pad_L(dy.astype(jnp.float32), Lp), T)
 
     grid = (Bsz, G, nD, nL)
     rev = lambda b, g, j, l: (b, g, j, nL - 1 - l)
@@ -401,14 +527,14 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, res, dy):
         interpret=_interpret(),
     )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4, hchk, dy_p)
 
-    du = du[..., :L].astype(u.dtype)
-    ddelta = ddelta[..., :L].astype(delta.dtype)
+    du = _dilv(du, T)[..., :L].astype(u.dtype)
+    ddelta = _dilv(ddelta, T)[..., :L].astype(delta.dtype)
     # dA: (B, G, nD, NR, 1) n-major rows -> (G, D, N), summed over batch
     dA = jnp.sum(dA_p.reshape(Bsz, G, nD, N, D_blk), axis=0)
     dA = jnp.swapaxes(dA, 2, 3).reshape(G, D, N).astype(A.dtype)
     # dB/dC: written per (batch, j) row — sum the j copies
-    dB = jnp.sum(dB_p.reshape(Bsz, nD, G, N, Lp), axis=1)[..., :L].astype(B.dtype)
-    dC = jnp.sum(dC_p.reshape(Bsz, nD, G, N, Lp), axis=1)[..., :L].astype(C.dtype)
+    dB = _dilv(jnp.sum(dB_p.reshape(Bsz, nD, G, N, Lp), axis=1), T)[..., :L].astype(B.dtype)
+    dC = _dilv(jnp.sum(dC_p.reshape(Bsz, nD, G, N, Lp), axis=1), T)[..., :L].astype(C.dtype)
     dD = jnp.sum(dD_p, axis=(0, 4)).reshape(-1).astype(Dskip.dtype)
     dbias = jnp.sum(dbias_p, axis=(0, 4)).reshape(-1).astype(delta_bias.dtype)
     return du, ddelta, dA, dB, dC, dD, dbias

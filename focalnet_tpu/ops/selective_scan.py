@@ -46,11 +46,13 @@ def selective_scan(
     delta_softplus=False,
     out_dtype=None,
     backend="auto",
+    chunk=None,
 ):
     """Selective scan with automatic backend choice.
 
     Shapes as in :mod:`focalnet_tpu.ops.scan_ref`.  ``out_dtype=None`` means
     fp32 (the oflex contract the live model uses via forward_type "v4").
+    ``chunk`` tunes the pallas backend's grid chunk (ignored elsewhere).
     """
     if backend == "auto":
         backend = _default_backend()
@@ -59,6 +61,8 @@ def selective_scan(
         out_dtype=out_dtype or jax.numpy.float32,
     )
     if backend == "pallas":
+        if chunk is not None:
+            kwargs["chunk"] = chunk
         return selective_scan_pallas(u, delta, A, B, C, **kwargs)
     if backend == "chunked":
         return selective_scan_chunked(u, delta, A, B, C, **kwargs)
