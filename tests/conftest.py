@@ -5,17 +5,23 @@ Must set env vars before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Opt out of the CPU mesh with FOCALNET_TPU_TESTS=1 to run
+# tests/test_tpu_only.py against the real chip.
+_REAL_TPU = os.environ.get("FOCALNET_TPU_TESTS") == "1"
+
+if not _REAL_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # persistent compilation cache: repeated suite runs skip recompiles

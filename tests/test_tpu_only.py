@@ -1,6 +1,6 @@
 """Opt-in real-TPU tests (skipped on the CPU test mesh).
 
-Run with:  JAX_PLATFORMS= python -m pytest tests/test_tpu_only.py -q
+Run with:  FOCALNET_TPU_TESTS=1 python -m pytest tests/test_tpu_only.py -q
 (i.e. WITHOUT the conftest CPU override — these need the real chip, where
 the Pallas kernel runs compiled rather than interpreted.)
 
@@ -36,6 +36,47 @@ def test_pallas_model_shape_parity_on_hw():
     ref = selective_scan_chunked(u, delta, A, B, C, delta_softplus=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-2, atol=5e-2)
+
+
+def test_pallas_backward_parity_on_hw():
+    """Compiled (Mosaic) backward vs the chunked oracle at the hot shape.
+
+    The reference gradient-checks every kernel on the real device
+    (``kernels/selective_scan/test_selective_scan.py:490-502``); the CPU
+    suite only exercises the backward in interpret mode, so this is the
+    check that Mosaic compilation preserves the adjoint math.  fp32 and
+    bf16-in/fp32-out (the live model's mixed-precision path).
+    """
+    from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+    from focalnet_tpu.ops.scan_chunked import selective_scan_chunked
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    D, N, G, L = 768, 16, 4, 16384
+    for dtype, rtol, atol in [(jnp.float32, 6e-4, 2e-3), (jnp.bfloat16, 3e-2, 5e-2)]:
+        u = (jax.random.normal(ks[0], (1, D, L)) * 0.5).astype(dtype)
+        delta = (0.5 * jax.random.uniform(ks[1], (1, D, L))).astype(dtype)
+        A = -0.5 - jax.random.uniform(ks[2], (D, N))
+        B = (jax.random.normal(ks[3], (1, G, N, L)) * 0.5).astype(dtype)
+        C = (jax.random.normal(ks[4], (1, G, N, L)) * 0.5).astype(dtype)
+        Dv = jax.random.normal(ks[5], (D,))
+        bias = jax.random.normal(ks[6], (D,)) * 0.1
+
+        def loss(fn, u, delta, A, B, C):
+            y = fn(u, delta, A, B, C, D=Dv, delta_bias=bias, delta_softplus=True)
+            return jnp.mean(y * jnp.cos(y))
+
+        args = (u, delta, A, B, C)
+        gp = jax.jit(jax.grad(
+            lambda *a: loss(selective_scan_pallas, *a), argnums=(0, 1, 2, 3, 4)
+        ))(*args)
+        gr = jax.jit(jax.grad(
+            lambda *a: loss(selective_scan_chunked, *a), argnums=(0, 1, 2, 3, 4)
+        ))(*args)
+        for name, got, ref in zip(("du", "ddelta", "dA", "dB", "dC"), gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                rtol=rtol, atol=atol, err_msg=f"{name} @ {dtype.__name__}",
+            )
 
 
 def test_flagship_forward_on_hw():
