@@ -14,8 +14,10 @@ TPU-native redesign rather than translation:
   the projections commute with the direction permutations (each direction is a
   pure permutation of the flattened grid), so we run ONE large matmul per
   projection on the un-permuted sequence — better MXU utilization, fewer
-  layout ops — and apply the permutations afterwards via
-  :func:`focalnet_tpu.ops.cross_scan.cross_scan`.
+  layout ops — and apply the permutations afterwards.  Directions 2/3 (the
+  flipped rasters) are realized by the scan kernel's ``reverse`` mode rather
+  than by flipping data (see :meth:`SS2D._core`); the reference's explicit
+  4-copy layout ops live on in :mod:`focalnet_tpu.ops.cross_scan`.
 - ``forward_type`` keeps the reference's tag grammar (suffixes ``no32``,
   ``noz``, ``nozact``, ``none``, ``dwconv3``, ``softmax``, ``sigmoid``; base
   tags ``v01/v1/v2/v3/v4``, ``vmamba_layers.py:409-451``).  On TPU every base
@@ -40,7 +42,6 @@ from focalnet_tpu.models.initializers import (
     trunc_normal_02,
     uniform_pm,
 )
-from focalnet_tpu.ops.cross_scan import cross_merge, cross_scan, cross_scan_1b1
 from focalnet_tpu.ops.selective_scan import selective_scan
 
 K_DIRS = 4
@@ -235,7 +236,12 @@ class SS2D(nn.Module):
         """4-direction cross selective scan on (B, H, W, d_inner).
 
         Equivalent to ``cross_selective_scan`` (``vmamba_layers.py:200-299``)
-        with the projection/permutation order swapped (see module docstring).
+        with two TPU-first restructurings: (1) the projections run BEFORE the
+        direction permutations (they commute — see module docstring), and
+        (2) directions 2/3 (the flipped rasters) are never materialized:
+        they reuse direction-0/1 operand layouts and run the scan kernel in
+        ``reverse=True`` mode (right-to-left grid+chunk traversal), which is
+        mathematically identical to flip/scan/flip but moves zero data.
         """
         B, H, W, D = x.shape
         K, N, R = K_DIRS, self.d_state, self.rank
@@ -243,49 +249,63 @@ class SS2D(nn.Module):
         x_proj, dt_w, dt_b, A_logs, Ds = self._ssm_params()
 
         flat = x.reshape(B, L, D)
-        # one fused matmul for all K directions' (dt, B, C) projections
+        # one fused matmul for all K directions' (dt, B, C) projections,
+        # written directly in kernel layout (features before positions)
         x_dbl = jnp.einsum(
-            "bld,kcd->bklc", flat, x_proj,
+            "bld,kcd->bkcl", flat, x_proj,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-2)
         dts = jnp.einsum(
-            "bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32
+            "bkrl,kdr->bkdl", dts, dt_w, preferred_element_type=jnp.float32
         ).astype(x.dtype)
 
-        # apply direction permutations to projections AND to u
-        xs = cross_scan(x)  # (B, K, L, D)
+        def col_major(t):  # (B, C, L) row-major -> col-major raster
+            C = t.shape[1]
+            return jnp.swapaxes(t.reshape(B, C, H, W), 2, 3).reshape(B, C, L)
 
-        def per_dir(t):  # (B, K, L, C): stream k rastered in direction k
-            return cross_scan_1b1(t.reshape(B, K, H, W, t.shape[-1]))
+        def two_dirs(t4):  # (B, 4, C, L) row-major -> fwd/rev (B, 2, C, L)
+            fwd = jnp.stack([t4[:, 0], col_major(t4[:, 1])], axis=1)
+            rev = jnp.stack([t4[:, 2], col_major(t4[:, 3])], axis=1)
+            return fwd, rev
 
-        dts = per_dir(dts)                       # (B, K, L, D)
-        Bs = per_dir(Bs)                         # (B, K, L, N)
-        Cs = per_dir(Cs)                         # (B, K, L, N)
+        # u is direction-independent: one (B, 2, D, L) stack shared by the
+        # forward scan (dirs 0/1) and the reverse scan (dirs 2/3)
+        xt = jnp.swapaxes(flat, 1, 2)            # (B, D, L) row-major
+        u2 = jnp.stack([xt, col_major(xt)], axis=1).reshape(B, 2 * D, L)
+        dts_f, dts_r = two_dirs(dts)
+        Bs_f, Bs_r = two_dirs(Bs)                # (B, 2, N, L)
+        Cs_f, Cs_r = two_dirs(Cs)
+        delta_f = dts_f.reshape(B, 2 * D, L)
+        delta_r = dts_r.reshape(B, 2 * D, L)
 
-        # kernel layout: channels on sublanes, sequence on lanes
-        u = jnp.swapaxes(xs, 2, 3).reshape(B, K * D, L)
-        delta = jnp.swapaxes(dts, 2, 3).reshape(B, K * D, L)
-        Bm = jnp.swapaxes(Bs, 2, 3)              # (B, K, N, L)
-        Cm = jnp.swapaxes(Cs, 2, 3)
-
-        A = -jnp.exp(A_logs.astype(jnp.float32))
+        A = -jnp.exp(A_logs.astype(jnp.float32)) # (4D, N), k-major rows
+        Ds32 = Ds.astype(jnp.float32)
+        bias = dt_b.reshape(-1).astype(jnp.float32)
+        u2 = u2.astype(jnp.float32) if flags["force_fp32"] else u2
         if flags["force_fp32"]:
-            u, delta = u.astype(jnp.float32), delta.astype(jnp.float32)
-            Bm, Cm = Bm.astype(jnp.float32), Cm.astype(jnp.float32)
+            delta_f, delta_r = delta_f.astype(jnp.float32), delta_r.astype(jnp.float32)
+            Bs_f, Bs_r = Bs_f.astype(jnp.float32), Bs_r.astype(jnp.float32)
+            Cs_f, Cs_r = Cs_f.astype(jnp.float32), Cs_r.astype(jnp.float32)
 
-        ys = selective_scan(
-            u, delta, A, Bm, Cm,
-            D=Ds.astype(jnp.float32),
-            delta_bias=dt_b.reshape(-1).astype(jnp.float32),
+        scan = lambda delta, Bm, Cm, lo, reverse: selective_scan(
+            u2, delta, A[lo : lo + 2 * D], Bm, Cm,
+            D=Ds32[lo : lo + 2 * D],
+            delta_bias=bias[lo : lo + 2 * D],
             delta_softplus=True,
             out_dtype=jnp.float32,
             backend=self.scan_backend,
             chunk=self.scan_chunk,
-        )  # (B, K*D, L) fp32
+            reverse=reverse,
+        )
+        ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
+        ys_r = scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
 
-        ys = jnp.swapaxes(ys.reshape(B, K, D, L), 2, 3)  # (B, K, L, D)
-        y = cross_merge(ys, H, W)                        # (B, H, W, D)
+        # merge: both rasters already aligned (no un-flips needed)
+        row = ys_f[:, 0] + ys_r[:, 0]            # (B, D, L) row-major
+        col = ys_f[:, 1] + ys_r[:, 1]            # col-major (l = w*H + h)
+        y = jnp.swapaxes(row, 1, 2).reshape(B, H, W, D)
+        y = y + jnp.transpose(col.reshape(B, D, W, H), (0, 3, 2, 1))
         y = self._out_norm(y, flags)
         return y.astype(x.dtype)
 

@@ -185,6 +185,39 @@ def _ilv_rev(a, e, col_ids, T):
     return out
 
 
+def _ilv_fwd_r(a, b, col_ids, T):
+    """RIGHT-to-left scan h_i = a_i h_{i+1} + b_i of an interleaved chunk.
+
+    The mirror of :func:`_ilv_fwd` for reverse-direction scans (``reverse=
+    True``): same three phases, right-to-left, using each element's OWN
+    decay ``a_i`` (unlike the adjoint scan :func:`_ilv_rev`, which uses
+    ``a_{i+1}``).  The caller folds any incoming carry into ``b``'s LAST
+    element.  Returns the scanned state blocks.
+    """
+    a_bl, W = _blocks(a, T)
+    R = len(a_bl)
+    if R == 1:
+        # _pair_scan_rev with a_next := a computes h_i = b_i + a_i h_{i+1}
+        return [_pair_scan_rev(a, b, col_ids, T)]
+    b_bl, _ = _blocks(b, T)
+    # phase 1: in-group right-to-left scan; P[r] = a_r * ... * a_{R-1}
+    H = [None] * R
+    P = [None] * R
+    H[R - 1] = b_bl[R - 1]
+    P[R - 1] = a_bl[R - 1]
+    for r in range(R - 2, -1, -1):
+        H[r] = b_bl[r] + a_bl[r] * H[r + 1]
+        P[r] = a_bl[r] * P[r + 1]
+    # phase 2: macro reverse scan over groups (aggregate decay = P[0])
+    ids = jax.lax.broadcasted_iota(jnp.int32, H[0].shape, 1)
+    last = ids == W - 1
+    a_next = jnp.where(last, 0.0, P[0])
+    Hhat = _pair_scan_rev(a_next, H[0], ids, W)  # true h at (q, 0)
+    # phase 3: carry from the next group's first element
+    cn = jnp.where(last, 0.0, pltpu.roll(Hhat, W - 1, 1))
+    return [H[r] + P[r] * cn for r in range(R)]
+
+
 def _ilv(x, T):
     """Host-side interleave of each T-lane chunk: element q*R + r -> lane
     r*W + q (W = 128, R = T/W).  Its own inverse is :func:`_dilv`."""
@@ -256,7 +289,7 @@ def _fwd_kernel(
     u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref,
     y_ref, hchk_ref,
     h_state,
-    *, N, T, D_blk, softplus, has_D,
+    *, N, T, D_blk, softplus, has_D, reverse,
 ):
     l = pl.program_id(3)
 
@@ -280,12 +313,19 @@ def _fwd_kernel(
     b = du_rep * _rep_rows(Bm, D_blk)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (NR, T), 1)
-    # fold the carried state into the first column (h_0 = a_0 h_in + b_0):
-    # the scanned b IS h directly and the a-scan's final level is dead
-    b = jnp.where(col_ids == 0, b + a * h_state[...], b)
-    hb = _ilv_fwd(a, b, col_ids, T)                          # R x (NR, W)
-    h = hb[0] if len(hb) == 1 else jnp.concatenate(hb, axis=1)
-    h_state[...] = h[:, T - 1 : T]  # element T-1 = global last lane
+    # fold the carried state into the entry column (h = a * h_in + b there):
+    # the scanned b IS h directly and no separate prefix apply is needed
+    if reverse:
+        # right-to-left: carry enters at element T-1, leaves at element 0
+        b = jnp.where(col_ids == T - 1, b + a * h_state[...], b)
+        hb = _ilv_fwd_r(a, b, col_ids, T)                    # R x (NR, W)
+        h = hb[0] if len(hb) == 1 else jnp.concatenate(hb, axis=1)
+        h_state[...] = h[:, 0:1]  # element 0 = global lane 0
+    else:
+        b = jnp.where(col_ids == 0, b + a * h_state[...], b)
+        hb = _ilv_fwd(a, b, col_ids, T)                      # R x (NR, W)
+        h = hb[0] if len(hb) == 1 else jnp.concatenate(hb, axis=1)
+        h_state[...] = h[:, T - 1 : T]  # element T-1 = global last lane
 
     y = _block_sum(h * _rep_rows(Cm, D_blk), N, D_blk)       # (D_blk, T)
     if has_D:
@@ -297,10 +337,10 @@ def _bwd_kernel(
     u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, hchk_ref, dy_ref,
     du_ref, ddelta_ref, dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref,
     g_state,
-    *, N, T, D_blk, softplus, has_D,
+    *, N, T, D_blk, softplus, has_D, reverse,
 ):
-    # index maps traverse chunks in reverse: grid step l handles chunk
-    # (n_chunks - 1 - l); g_state carries a_0^{(c+1)} * G_0^{(c+1)}.
+    # index maps traverse chunks OPPOSITE to the forward scan's direction;
+    # g_state carries the adjoint across the chunk boundary.
     l = pl.program_id(3)
 
     @pl.when(l == 0)
@@ -332,28 +372,57 @@ def _bwd_kernel(
     a = jnp.exp(dt_rep * A_col)
     b = du_in_rep * B_full
 
-    # rematerialize forward states for this chunk (carry folded into column
-    # 0 exactly as in the forward kernel)
-    b_fold = jnp.where(col_ids == 0, b + a * h_in, b)
-    hb = _ilv_fwd(a, b_fold, col_ids, T)                     # R x (NR, W)
-    if len(hb) == 1:
-        h = hb[0]
-        h_prev = jnp.where(col_ids == 0, h_in, pltpu.roll(h, 1, 1))
-    else:
-        # element i-1 of (q, r): (q, r-1) for r > 0, else (q-1, R-1)
-        pids = jax.lax.broadcasted_iota(jnp.int32, hb[0].shape, 1)
-        hp0 = jnp.where(pids == 0, h_in, pltpu.roll(hb[-1], 1, 1))
-        h_prev = jnp.concatenate([hp0] + hb[:-1], axis=1)
-        h = jnp.concatenate(hb, axis=1)
-
-    # reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1}
+    # rematerialize forward states for this chunk (carry folded into the
+    # scan's entry column exactly as in the forward kernel), and shift them
+    # by one element toward the scan source (h_prev fwd / h_next reverse) —
+    # the state each element's own decay multiplied.
     e = C_full * dy_rep
-    e = jnp.where(last_col, e + g_state[...], e)
-    Gb = _ilv_rev(a, e, col_ids, T)                          # R x (NR, W)
-    G = Gb[0] if len(Gb) == 1 else jnp.concatenate(Gb, axis=1)
-    g_state[...] = a[:, 0:1] * G[:, 0:1]  # element 0 = global lane 0
+    if reverse:
+        # fwd recurrence was h_i = a_i h_{i+1} + b_i; adjoint runs LEFT-to-
+        # right: G_i = C_i dy_i + a_{i-1} G_{i-1}
+        b_fold = jnp.where(last_col, b + a * h_in, b)
+        hb = _ilv_fwd_r(a, b_fold, col_ids, T)               # R x (NR, W)
+        if len(hb) == 1:
+            h = hb[0]
+            h_next = jnp.where(last_col, h_in, pltpu.roll(h, T - 1, 1))
+            a_prev = jnp.where(col_ids == 0, 0.0, pltpu.roll(a, 1, 1))
+            e = jnp.where(col_ids == 0, e + g_state[...], e)
+            G = _pair_scan_fwd(a_prev, e, col_ids, T, need_a=False)[1]
+        else:
+            # element i+1 of (q, r): (q, r+1) for r < R-1, else (q+1, 0)
+            pids = jax.lax.broadcasted_iota(jnp.int32, hb[0].shape, 1)
+            hpl = jnp.where(pids == T // len(hb) - 1, h_in,
+                            pltpu.roll(hb[0], T // len(hb) - 1, 1))
+            h_next = jnp.concatenate(hb[1:] + [hpl], axis=1)
+            h = jnp.concatenate(hb, axis=1)
+            a_bl, _ = _blocks(a, T)
+            ap0 = jnp.where(pids == 0, 0.0, pltpu.roll(a_bl[-1], 1, 1))
+            a_prev = jnp.concatenate([ap0] + a_bl[:-1], axis=1)
+            e = jnp.where(col_ids == 0, e + g_state[...], e)
+            Gb = _ilv_fwd(a_prev, e, col_ids, T)             # R x (NR, W)
+            G = jnp.concatenate(Gb, axis=1)
+        g_state[...] = a[:, T - 1 : T] * G[:, T - 1 : T]
+        h_adj = h_next
+    else:
+        b_fold = jnp.where(col_ids == 0, b + a * h_in, b)
+        hb = _ilv_fwd(a, b_fold, col_ids, T)                 # R x (NR, W)
+        if len(hb) == 1:
+            h = hb[0]
+            h_prev = jnp.where(col_ids == 0, h_in, pltpu.roll(h, 1, 1))
+        else:
+            # element i-1 of (q, r): (q, r-1) for r > 0, else (q-1, R-1)
+            pids = jax.lax.broadcasted_iota(jnp.int32, hb[0].shape, 1)
+            hp0 = jnp.where(pids == 0, h_in, pltpu.roll(hb[-1], 1, 1))
+            h_prev = jnp.concatenate([hp0] + hb[:-1], axis=1)
+            h = jnp.concatenate(hb, axis=1)
+        # reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1}
+        e = jnp.where(last_col, e + g_state[...], e)
+        Gb = _ilv_rev(a, e, col_ids, T)                      # R x (NR, W)
+        G = Gb[0] if len(Gb) == 1 else jnp.concatenate(Gb, axis=1)
+        g_state[...] = a[:, 0:1] * G[:, 0:1]  # element 0 = global lane 0
+        h_adj = h_prev
 
-    Gh_a = G * h_prev * a
+    Gh_a = G * h_adj * a
     du = _block_sum(G * dt_rep * B_full, N, D_blk)           # (D_blk, T)
     ddt = _block_sum(G * _rows(u, N) * B_full + Gh_a * A_col, N, D_blk)
     dB = _row_block_sums(G * du_in_rep, N, D_blk)            # (N, T)
@@ -423,13 +492,13 @@ def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
     return args, (Bsz, G, D, L, N, T, Lp, D_blk, nD, nL)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _scan_core(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk):
-    y, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _scan_core(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse):
+    y, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse)
     return y
 
 
-def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk):
+def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse):
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
         u, delta, A, B, C, Dskip, delta_bias, chunk
     )
@@ -438,23 +507,33 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dt
 
     grid = (Bsz, G, nD, nL)
     kernel = functools.partial(
-        _fwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D
+        _fwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D,
+        reverse=reverse,
     )
+    # a reverse scan walks the chunk grid right-to-left
+    if reverse:
+        seq = lambda b, g, j, l: (b, g, j, nL - 1 - l)
+        seq_bc = lambda b, g, j, l: (b, g, 0, nL - 1 - l)
+        seq_chk = lambda b, g, j, l: (b, g, j, nL - 1 - l, 0, 0)
+    else:
+        seq = lambda b, g, j, l: (b, g, j, l)
+        seq_bc = lambda b, g, j, l: (b, g, 0, l)
+        seq_chk = lambda b, g, j, l: (b, g, j, l, 0, 0)
     y, hchk = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, D_blk, T), lambda b, g, j, l: (b, g, j, l)),  # u
-            pl.BlockSpec((1, 1, D_blk, T), lambda b, g, j, l: (b, g, j, l)),  # delta
+            pl.BlockSpec((1, 1, D_blk, T), seq),                              # u
+            pl.BlockSpec((1, 1, D_blk, T), seq),                              # delta
             pl.BlockSpec((1, 1, NR, 1), lambda b, g, j, l: (g, j, 0, 0)),     # A
-            pl.BlockSpec((1, 1, N, T), lambda b, g, j, l: (b, g, 0, l)),      # B
-            pl.BlockSpec((1, 1, N, T), lambda b, g, j, l: (b, g, 0, l)),      # C
+            pl.BlockSpec((1, 1, N, T), seq_bc),                               # B
+            pl.BlockSpec((1, 1, N, T), seq_bc),                               # C
             pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # Dskip
             pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # bias
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, D_blk, T), lambda b, g, j, l: (b, g, j, l)),
-            pl.BlockSpec((1, 1, 1, 1, NR, 1), lambda b, g, j, l: (b, g, j, l, 0, 0)),
+            pl.BlockSpec((1, 1, D_blk, T), seq),
+            pl.BlockSpec((1, 1, 1, 1, NR, 1), seq_chk),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bsz, G, D, Lp), out_dtype),
@@ -466,12 +545,12 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dt
     return _dilv(y, T)[..., :L], hchk
 
 
-def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk):
-    y, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk)
+def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse):
+    y, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse)
     return y, (u, delta, A, B, C, Dskip, delta_bias, hchk)
 
 
-def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, res, dy):
+def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, res, dy):
     u, delta, A, B, C, Dskip, delta_bias, hchk = res
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
         u, delta, A, B, C, Dskip, delta_bias, chunk
@@ -481,15 +560,23 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, res, dy):
     dy_p = _ilv(_pad_L(dy.astype(jnp.float32), Lp), T)
 
     grid = (Bsz, G, nD, nL)
-    rev = lambda b, g, j, l: (b, g, j, nL - 1 - l)
-    rev_chk = lambda b, g, j, l: (b, g, j, nL - 1 - l, 0, 0)
-    rev_bc = lambda b, g, j, l: (b, g, 0, nL - 1 - l)
-    # dB/dC get a separate output row PER (batch, d-block): fold j into the
-    # leading dim so different j grid steps never write the same block
-    rev_bc_j = lambda b, g, j, l: (b * nD + j, g, 0, nL - 1 - l)
+    # the adjoint walks chunks OPPOSITE to the forward scan's direction
+    if reverse:
+        rev = lambda b, g, j, l: (b, g, j, l)
+        rev_chk = lambda b, g, j, l: (b, g, j, l, 0, 0)
+        rev_bc = lambda b, g, j, l: (b, g, 0, l)
+        rev_bc_j = lambda b, g, j, l: (b * nD + j, g, 0, l)
+    else:
+        rev = lambda b, g, j, l: (b, g, j, nL - 1 - l)
+        rev_chk = lambda b, g, j, l: (b, g, j, nL - 1 - l, 0, 0)
+        rev_bc = lambda b, g, j, l: (b, g, 0, nL - 1 - l)
+        # dB/dC get a separate output row PER (batch, d-block): fold j into
+        # the leading dim so different j grid steps never share a block
+        rev_bc_j = lambda b, g, j, l: (b * nD + j, g, 0, nL - 1 - l)
     stat = lambda b, g, j, l: (g, j, 0, 0)
     kernel = functools.partial(
-        _bwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D
+        _bwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D,
+        reverse=reverse,
     )
     du, ddelta, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
         kernel,
@@ -554,12 +641,19 @@ def selective_scan_pallas(
     delta_softplus=False,
     out_dtype=jnp.float32,
     chunk=DEF_CHUNK,
+    reverse=False,
 ):
     """Pallas selective scan with the oracle's canonical signature.
 
     u, delta: (batch, dim, L); A: (dim, N); B, C: (batch, G, N, L) with
     dim % G == 0; D, delta_bias: (dim,) or None.  Returns (batch, dim, L) in
     ``out_dtype`` (fp32 by default — the "oflex" contract).
+
+    ``reverse=True`` scans RIGHT-to-left (h_i = a_i h_{i+1} + b_i):
+    equivalent to flipping u/delta/B/C along L, scanning forward, and
+    flipping y back — but with zero data movement.  SS2D's directions 2/3
+    (the flipped rasters, ``csm_triton.py:20-24``) use this to share the
+    direction-0/1 operand layouts instead of materializing flipped copies.
 
     Numerical contract (same envelope as the reference CUDA kernels, which
     are only ever exercised with softplus'd dt): the recurrence must be
@@ -593,6 +687,6 @@ def selective_scan_pallas(
     y = _scan_core(
         u4, delta4, A4, B, C,
         Dv.astype(jnp.float32), biasv.astype(jnp.float32),
-        delta_softplus, has_D, jnp.dtype(out_dtype), chunk,
+        delta_softplus, has_D, jnp.dtype(out_dtype), chunk, reverse,
     )
     return y.reshape(batch, dim, L)

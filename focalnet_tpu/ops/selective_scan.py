@@ -47,12 +47,15 @@ def selective_scan(
     out_dtype=None,
     backend="auto",
     chunk=None,
+    reverse=False,
 ):
     """Selective scan with automatic backend choice.
 
     Shapes as in :mod:`focalnet_tpu.ops.scan_ref`.  ``out_dtype=None`` means
     fp32 (the oflex contract the live model uses via forward_type "v4").
     ``chunk`` tunes the pallas backend's grid chunk (ignored elsewhere).
+    ``reverse=True`` scans right-to-left — natively in the pallas kernel,
+    by flip/scan/flip on the oracle backends.
     """
     if backend == "auto":
         backend = _default_backend()
@@ -63,7 +66,14 @@ def selective_scan(
     if backend == "pallas":
         if chunk is not None:
             kwargs["chunk"] = chunk
-        return selective_scan_pallas(u, delta, A, B, C, **kwargs)
+        return selective_scan_pallas(u, delta, A, B, C, reverse=reverse, **kwargs)
+    if reverse:
+        flip = lambda x: jax.numpy.flip(x, axis=-1)
+        y = selective_scan(
+            flip(u), flip(delta), A, flip(B), flip(C),
+            backend=backend, **kwargs,
+        )
+        return flip(y)
     if backend == "chunked":
         return selective_scan_chunked(u, delta, A, B, C, **kwargs)
     if backend == "assoc":
