@@ -42,7 +42,12 @@ from focalnet_tpu.models.initializers import (
     trunc_normal_02,
     uniform_pm,
 )
-from focalnet_tpu.ops.selective_scan import selective_scan
+from focalnet_tpu.ops.selective_scan import (
+    deinterleave,
+    interleave,
+    scan_chunk_for,
+    selective_scan,
+)
 
 K_DIRS = 4
 
@@ -236,12 +241,21 @@ class SS2D(nn.Module):
         """4-direction cross selective scan on (B, H, W, d_inner).
 
         Equivalent to ``cross_selective_scan`` (``vmamba_layers.py:200-299``)
-        with two TPU-first restructurings: (1) the projections run BEFORE the
-        direction permutations (they commute — see module docstring), and
-        (2) directions 2/3 (the flipped rasters) are never materialized:
-        they reuse direction-0/1 operand layouts and run the scan kernel in
-        ``reverse=True`` mode (right-to-left grid+chunk traversal), which is
-        mathematically identical to flip/scan/flip but moves zero data.
+        with three TPU-first restructurings:
+
+        1. The projections run AFTER the direction permutations but ON the
+           permuted *input* (they commute — see module docstring): x is
+           permuted ONCE per raster direction, straight into the scan
+           kernel's interleaved chunk layout, and every kernel operand
+           (u, dt, B, C) is then *born* in kernel layout from position-wise
+           matmuls — no per-operand relayout copies at all
+           (``pre_interleaved=True``).
+        2. Directions 2/3 (the flipped rasters) are never materialized: they
+           reuse direction-0/1 operand layouts and run the scan kernel in
+           ``reverse=True`` mode (right-to-left grid+chunk traversal) —
+           mathematically identical to flip/scan/flip but moves zero data.
+        3. The 4-direction merge is a pointwise add in kernel layout plus
+           one inverse permutation per raster.
         """
         B, H, W, D = x.shape
         K, N, R = K_DIRS, self.d_state, self.rank
@@ -249,41 +263,43 @@ class SS2D(nn.Module):
         x_proj, dt_w, dt_b, A_logs, Ds = self._ssm_params()
 
         flat = x.reshape(B, L, D)
-        # one fused matmul for all K directions' (dt, B, C) projections,
-        # written directly in kernel layout (features before positions)
-        x_dbl = jnp.einsum(
-            "bld,kcd->bkcl", flat, x_proj,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-2)
-        dts = jnp.einsum(
-            "bkrl,kdr->bkdl", dts, dt_w, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        xt = jnp.swapaxes(flat, 1, 2)            # (B, D, L) row-major
 
         def col_major(t):  # (B, C, L) row-major -> col-major raster
             C = t.shape[1]
             return jnp.swapaxes(t.reshape(B, C, H, W), 2, 3).reshape(B, C, L)
 
-        def two_dirs(t4):  # (B, 4, C, L) row-major -> fwd/rev (B, 2, C, L)
-            fwd = jnp.stack([t4[:, 0], col_major(t4[:, 1])], axis=1)
-            rev = jnp.stack([t4[:, 2], col_major(t4[:, 3])], axis=1)
-            return fwd, rev
+        T = scan_chunk_for(L, self.scan_chunk)
+        pre = L % T == 0  # kernel layout needs whole chunks (no padding)
+        lay = (lambda t: interleave(t, T)) if pre else (lambda t: t)
+        unlay = (lambda t: deinterleave(t, T)) if pre else (lambda t: t)
 
-        # u is direction-independent: one (B, 2, D, L) stack shared by the
-        # forward scan (dirs 0/1) and the reverse scan (dirs 2/3)
-        xt = jnp.swapaxes(flat, 1, 2)            # (B, D, L) row-major
-        u2 = jnp.stack([xt, col_major(xt)], axis=1).reshape(B, 2 * D, L)
-        dts_f, dts_r = two_dirs(dts)
-        Bs_f, Bs_r = two_dirs(Bs)                # (B, 2, N, L)
-        Cs_f, Cs_r = two_dirs(Cs)
-        delta_f = dts_f.reshape(B, 2 * D, L)
-        delta_r = dts_r.reshape(B, 2 * D, L)
+        # ONE permutation per raster direction of the input; the projections
+        # below are position-wise, so their outputs inherit the layout
+        x2 = jnp.stack([lay(xt), lay(col_major(xt))], axis=1)  # (B, 2, D, L)
+
+        def project(w, dtw):
+            # (dt, B, C) for one scan direction pair; w: (2, C', D) rows of
+            # x_proj, dtw: (2, D, R) rows of dt_w (direction order k = 0 row,
+            # 1 col, 2 row-reversed, 3 col-reversed, ``csm_triton.py:20-24``)
+            xd = jnp.einsum(
+                "bgdl,gcd->bgcl", x2, w, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            dts, Bs, Cs = jnp.split(xd, [R, R + N], axis=-2)
+            dts = jnp.einsum(
+                "bgrl,gdr->bgdl", dts, dtw, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            return dts.reshape(B, 2 * D, L), Bs, Cs
+
+        delta_f, Bs_f, Cs_f = project(x_proj[:2], dt_w[:2])
+        delta_r, Bs_r, Cs_r = project(x_proj[2:], dt_w[2:])
 
         A = -jnp.exp(A_logs.astype(jnp.float32)) # (4D, N), k-major rows
         Ds32 = Ds.astype(jnp.float32)
         bias = dt_b.reshape(-1).astype(jnp.float32)
-        u2 = u2.astype(jnp.float32) if flags["force_fp32"] else u2
+        u2 = x2.reshape(B, 2 * D, L)
         if flags["force_fp32"]:
+            u2 = u2.astype(jnp.float32)
             delta_f, delta_r = delta_f.astype(jnp.float32), delta_r.astype(jnp.float32)
             Bs_f, Bs_r = Bs_f.astype(jnp.float32), Bs_r.astype(jnp.float32)
             Cs_f, Cs_r = Cs_f.astype(jnp.float32), Cs_r.astype(jnp.float32)
@@ -297,13 +313,15 @@ class SS2D(nn.Module):
             backend=self.scan_backend,
             chunk=self.scan_chunk,
             reverse=reverse,
+            pre_interleaved=pre,
         )
         ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
         ys_r = scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
 
-        # merge: both rasters already aligned (no un-flips needed)
-        row = ys_f[:, 0] + ys_r[:, 0]            # (B, D, L) row-major
-        col = ys_f[:, 1] + ys_r[:, 1]            # col-major (l = w*H + h)
+        # merge: pointwise in kernel layout, then one inverse permutation
+        # per raster (both rasters already aligned — no un-flips needed)
+        row = unlay(ys_f[:, 0] + ys_r[:, 0])     # (B, D, L) row-major
+        col = unlay(ys_f[:, 1] + ys_r[:, 1])     # col-major (l = w*H + h)
         y = jnp.swapaxes(row, 1, 2).reshape(B, H, W, D)
         y = y + jnp.transpose(col.reshape(B, D, W, H), (0, 3, 2, 1))
         y = self._out_norm(y, flags)

@@ -467,7 +467,7 @@ def _pad_L(x, Lp):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
 
-def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
+def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk, pre_interleaved=False):
     """Common padding/reshape for fwd and bwd pallas calls."""
     Bsz, G, D, L = u.shape
     N = A.shape[-1]
@@ -483,6 +483,16 @@ def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
     )
     D4 = Dskip.reshape(G, nD, D_blk, 1)
     bias4 = delta_bias.reshape(G, nD, D_blk, 1)
+    if pre_interleaved:
+        # the caller already laid u/delta/B/C out in the kernel's interleaved
+        # chunk layout (one fused permutation at the source — see SS2D._core)
+        if Lp != L:
+            raise ValueError(
+                f"pre_interleaved requires L divisible by the chunk "
+                f"({L=}, {T=}); lay out with scan_chunk_for()"
+            )
+        args = (u, delta, A_nm, B, C, D4, bias4)
+        return args, (Bsz, G, D, L, N, T, Lp, D_blk, nD, nL)
     # pad to a chunk multiple, then interleave each chunk for the kernel's
     # block-scan layout (element q*R + r at lane r*W + q, see _ilv_fwd)
     args = (
@@ -492,15 +502,24 @@ def _prep(u, delta, A, B, C, Dskip, delta_bias, chunk):
     return args, (Bsz, G, D, L, N, T, Lp, D_blk, nD, nL)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _scan_core(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse):
-    y, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse)
+def scan_chunk_for(L, chunk=DEF_CHUNK):
+    """The chunk size T the pallas kernel will pick for sequence length L.
+
+    Callers using ``pre_interleaved=True`` must interleave with exactly this
+    T (via :func:`interleave`) and may only do so when ``L % T == 0``.
+    """
+    return _pick_chunk(L, chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _scan_core(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv):
+    y, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv)
     return y
 
 
-def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse):
+def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv):
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
-        u, delta, A, B, C, Dskip, delta_bias, chunk
+        u, delta, A, B, C, Dskip, delta_bias, chunk, pre_ilv
     )
     Bsz, G, D, L, N, T, Lp, D_blk, nD, nL = dims
     NR = N * D_blk
@@ -542,22 +561,28 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dt
         scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
         interpret=_interpret(),
     )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4)
+    if pre_ilv:
+        return y, hchk  # stays interleaved — the caller's layout
     return _dilv(y, T)[..., :L], hchk
 
 
-def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse):
-    y, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse)
+def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv):
+    y, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv)
     return y, (u, delta, A, B, C, Dskip, delta_bias, hchk)
 
 
-def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, res, dy):
+def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, res, dy):
     u, delta, A, B, C, Dskip, delta_bias, hchk = res
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
-        u, delta, A, B, C, Dskip, delta_bias, chunk
+        u, delta, A, B, C, Dskip, delta_bias, chunk, pre_ilv
     )
     Bsz, G, D, L, N, T, Lp, D_blk, nD, nL = dims
     NR = N * D_blk
-    dy_p = _ilv(_pad_L(dy.astype(jnp.float32), Lp), T)
+    dy_p = (
+        dy.astype(jnp.float32)
+        if pre_ilv
+        else _ilv(_pad_L(dy.astype(jnp.float32), Lp), T)
+    )
 
     grid = (Bsz, G, nD, nL)
     # the adjoint walks chunks OPPOSITE to the forward scan's direction
@@ -614,14 +639,23 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, res, dy):
         interpret=_interpret(),
     )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4, hchk, dy_p)
 
-    du = _dilv(du, T)[..., :L].astype(u.dtype)
-    ddelta = _dilv(ddelta, T)[..., :L].astype(delta.dtype)
+    if pre_ilv:
+        du = du.astype(u.dtype)
+        ddelta = ddelta.astype(delta.dtype)
+    else:
+        du = _dilv(du, T)[..., :L].astype(u.dtype)
+        ddelta = _dilv(ddelta, T)[..., :L].astype(delta.dtype)
     # dA: (B, G, nD, NR, 1) n-major rows -> (G, D, N), summed over batch
     dA = jnp.sum(dA_p.reshape(Bsz, G, nD, N, D_blk), axis=0)
     dA = jnp.swapaxes(dA, 2, 3).reshape(G, D, N).astype(A.dtype)
     # dB/dC: written per (batch, j) row — sum the j copies
-    dB = _dilv(jnp.sum(dB_p.reshape(Bsz, nD, G, N, Lp), axis=1), T)[..., :L].astype(B.dtype)
-    dC = _dilv(jnp.sum(dC_p.reshape(Bsz, nD, G, N, Lp), axis=1), T)[..., :L].astype(C.dtype)
+    dB_s = jnp.sum(dB_p.reshape(Bsz, nD, G, N, Lp), axis=1)
+    dC_s = jnp.sum(dC_p.reshape(Bsz, nD, G, N, Lp), axis=1)
+    if pre_ilv:
+        dB, dC = dB_s.astype(B.dtype), dC_s.astype(C.dtype)
+    else:
+        dB = _dilv(dB_s, T)[..., :L].astype(B.dtype)
+        dC = _dilv(dC_s, T)[..., :L].astype(C.dtype)
     dD = jnp.sum(dD_p, axis=(0, 4)).reshape(-1).astype(Dskip.dtype)
     dbias = jnp.sum(dbias_p, axis=(0, 4)).reshape(-1).astype(delta_bias.dtype)
     return du, ddelta, dA, dB, dC, dD, dbias
@@ -642,6 +676,7 @@ def selective_scan_pallas(
     out_dtype=jnp.float32,
     chunk=DEF_CHUNK,
     reverse=False,
+    pre_interleaved=False,
 ):
     """Pallas selective scan with the oracle's canonical signature.
 
@@ -654,6 +689,15 @@ def selective_scan_pallas(
     flipping y back — but with zero data movement.  SS2D's directions 2/3
     (the flipped rasters, ``csm_triton.py:20-24``) use this to share the
     direction-0/1 operand layouts instead of materializing flipped copies.
+
+    ``pre_interleaved=True`` declares that u/delta/B/C are ALREADY in the
+    kernel's interleaved chunk layout (:func:`interleave` with
+    T = :func:`scan_chunk_for`; requires ``L % T == 0``) and that y — and,
+    under AD, every sequence-shaped gradient — should be returned in that
+    layout too.  This lets a caller apply ONE fused permutation at the data
+    source (e.g. SS2D permutes its input once per raster direction and runs
+    the position-wise projections afterwards) instead of XLA materializing a
+    relayout copy of each operand per call.
 
     Numerical contract (same envelope as the reference CUDA kernels, which
     are only ever exercised with softplus'd dt): the recurrence must be
@@ -688,5 +732,11 @@ def selective_scan_pallas(
         u4, delta4, A4, B, C,
         Dv.astype(jnp.float32), biasv.astype(jnp.float32),
         delta_softplus, has_D, jnp.dtype(out_dtype), chunk, reverse,
+        pre_interleaved,
     )
     return y.reshape(batch, dim, L)
+
+
+# public names for the pre_interleaved layout helpers
+interleave = _ilv
+deinterleave = _dilv

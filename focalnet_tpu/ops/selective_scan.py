@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import jax
 
-from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+from focalnet_tpu.ops.pallas_scan import (
+    DEF_CHUNK,
+    deinterleave,
+    interleave,
+    scan_chunk_for,
+    selective_scan_pallas,
+)
 from focalnet_tpu.ops.scan_chunked import selective_scan_chunked
 from focalnet_tpu.ops.scan_ref import selective_scan_assoc, selective_scan_ref
 
@@ -48,6 +54,7 @@ def selective_scan(
     backend="auto",
     chunk=None,
     reverse=False,
+    pre_interleaved=False,
 ):
     """Selective scan with automatic backend choice.
 
@@ -56,6 +63,10 @@ def selective_scan(
     ``chunk`` tunes the pallas backend's grid chunk (ignored elsewhere).
     ``reverse=True`` scans right-to-left — natively in the pallas kernel,
     by flip/scan/flip on the oracle backends.
+    ``pre_interleaved=True`` means u/delta/B/C arrive — and y is returned —
+    in the pallas kernel's interleaved chunk layout (see
+    :func:`focalnet_tpu.ops.pallas_scan.interleave`); oracle backends shim
+    it with deinterleave/re-interleave so callers stay backend-agnostic.
     """
     if backend == "auto":
         backend = _default_backend()
@@ -66,7 +77,18 @@ def selective_scan(
     if backend == "pallas":
         if chunk is not None:
             kwargs["chunk"] = chunk
-        return selective_scan_pallas(u, delta, A, B, C, reverse=reverse, **kwargs)
+        return selective_scan_pallas(
+            u, delta, A, B, C, reverse=reverse,
+            pre_interleaved=pre_interleaved, **kwargs,
+        )
+    if pre_interleaved:
+        T = scan_chunk_for(u.shape[-1], chunk or DEF_CHUNK)
+        d = lambda x: deinterleave(x, T)
+        y = selective_scan(
+            d(u), d(delta), A, d(B), d(C),
+            backend=backend, chunk=chunk, reverse=reverse, **kwargs,
+        )
+        return interleave(y, T)
     if reverse:
         flip = lambda x: jax.numpy.flip(x, axis=-1)
         y = selective_scan(

@@ -177,3 +177,128 @@ def test_last_state():
     _, hs_ref = selective_scan_ref(u, delta, A, B, C, D, bias, True, return_last_state=True)
     _, hs_chk = selective_scan_chunked(u, delta, A, B, C, D, bias, True, return_last_state=True)
     np.testing.assert_allclose(np.asarray(hs_chk), np.asarray(hs_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("itype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("L", [96, 192, 256, 1024])
+def test_reverse_forward_parity(itype, L):
+    """reverse=True == flip/scan/flip on the oracle (the flip-free mode
+    SS2D's directions 2/3 use; no reference analogue — the CUDA build always
+    materializes flipped copies via CrossScanTriton, ``csm_triton.py:20-24``)."""
+    batch, dim, N, G = 2, 8, 8, 2
+    key = jax.random.PRNGKey(7)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, itype, True, True
+    )
+    flip = lambda t: jnp.flip(t, axis=-1)
+    ref = flip(
+        selective_scan_ref(flip(u), flip(delta), A, flip(B), flip(C), D, bias, True)
+    )
+    got = selective_scan_pallas(u, delta, A, B, C, D, bias, True, reverse=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **TOLS[itype])
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_reverse_gradient_parity(reverse):
+    """Gradients of the reverse-mode kernel vs the flip-oracle."""
+    batch, dim, N, L, G = 1, 8, 4, 256, 1
+    key = jax.random.PRNGKey(8)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, jnp.float32, True, True
+    )
+    flip = lambda t: jnp.flip(t, axis=-1)
+
+    def loss_pallas(u, delta, B, C):
+        y = selective_scan_pallas(u, delta, A, B, C, D, bias, True, reverse=reverse)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_ref(u, delta, B, C):
+        if reverse:
+            u, delta, B, C = flip(u), flip(delta), flip(B), flip(C)
+        y = selective_scan_ref(u, delta, A, B, C, D, bias, True)
+        if reverse:
+            y = flip(y)
+        return jnp.sum(y * jnp.cos(y))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(u, delta, B, C)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(u, delta, B, C)
+    for name, g, r in zip("u delta B C".split(), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-3, atol=5e-3, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("L", [256, 1024])
+def test_pre_interleaved_contract(reverse, L):
+    """pre_interleaved=True: interleaved-in/interleaved-out equals
+    interleave(plain scan) for values AND gradients (the layout contract
+    SS2D relies on to fuse its operand permutations at the source)."""
+    from focalnet_tpu.ops.pallas_scan import interleave, scan_chunk_for
+
+    batch, dim, N, G = 1, 8, 4, 2
+    key = jax.random.PRNGKey(9)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, jnp.float32, True, True
+    )
+    T = scan_chunk_for(L)
+    ilv = lambda t: interleave(t, T)
+
+    def loss_pre(u_i, delta_i, B_i, C_i):
+        y = selective_scan_pallas(
+            u_i, delta_i, A, B_i, C_i, D, bias, True,
+            reverse=reverse, pre_interleaved=True,
+        )
+        return jnp.sum(y * jnp.sin(y)), y
+
+    def loss_plain(u, delta, B, C):
+        y = ilv(selective_scan_pallas(
+            u, delta, A, B, C, D, bias, True, reverse=reverse,
+        ))
+        return jnp.sum(y * jnp.sin(y)), y
+
+    (lp, yp), gp = jax.value_and_grad(loss_pre, argnums=(0, 1, 2, 3), has_aux=True)(
+        ilv(u), ilv(delta), ilv(B), ilv(C)
+    )
+    (lr, yr), gr = jax.value_and_grad(loss_plain, argnums=(0, 1, 2, 3), has_aux=True)(
+        u, delta, B, C
+    )
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yr), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-6)
+    for name, g, r in zip("u delta B C".split(), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ilv(r)), rtol=1e-5, atol=1e-6, err_msg=name
+        )
+
+
+def test_pre_interleaved_rejects_ragged_L():
+    """The layout contract requires whole chunks."""
+    batch, dim, N, L, G = 1, 4, 4, 200, 1
+    key = jax.random.PRNGKey(10)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, jnp.float32, True, True
+    )
+    with pytest.raises(ValueError, match="pre_interleaved"):
+        selective_scan_pallas(
+            u, delta, A, B, C, D, bias, True, pre_interleaved=True
+        )
+
+
+def test_pre_interleaved_oracle_shim():
+    """The dispatcher de/re-interleaves for oracle backends, so a caller in
+    kernel layout gets identical results from any backend."""
+    from focalnet_tpu.ops.pallas_scan import interleave, scan_chunk_for
+    from focalnet_tpu.ops.selective_scan import selective_scan
+
+    batch, dim, N, L, G = 1, 8, 4, 256, 1
+    key = jax.random.PRNGKey(11)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, jnp.float32, True, True
+    )
+    T = scan_chunk_for(L)
+    ilv = lambda t: interleave(t, T)
+    args = (ilv(u), ilv(delta), A, ilv(B), ilv(C))
+    kw = dict(D=D, delta_bias=bias, delta_softplus=True, pre_interleaved=True)
+    yp = selective_scan(*args, backend="pallas", **kw)
+    yc = selective_scan(*args, backend="chunked", **kw)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yc), rtol=6e-4, atol=2e-3)
