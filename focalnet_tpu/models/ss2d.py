@@ -42,12 +42,8 @@ from focalnet_tpu.models.initializers import (
     trunc_normal_02,
     uniform_pm,
 )
-from focalnet_tpu.ops.selective_scan import (
-    deinterleave,
-    interleave,
-    scan_chunk_for,
-    selective_scan,
-)
+from focalnet_tpu.ops.pallas_scan import kernel_to_raster, raster_to_kernel
+from focalnet_tpu.ops.selective_scan import scan_chunk_for, selective_scan
 
 K_DIRS = 4
 
@@ -262,21 +258,16 @@ class SS2D(nn.Module):
         L = H * W
         x_proj, dt_w, dt_b, A_logs, Ds = self._ssm_params()
 
-        flat = x.reshape(B, L, D)
-        xt = jnp.swapaxes(flat, 1, 2)            # (B, D, L) row-major
-
-        def col_major(t):  # (B, C, L) row-major -> col-major raster
-            C = t.shape[1]
-            return jnp.swapaxes(t.reshape(B, C, H, W), 2, 3).reshape(B, C, L)
-
         T = scan_chunk_for(L, self.scan_chunk)
         pre = L % T == 0  # kernel layout needs whole chunks (no padding)
-        lay = (lambda t: interleave(t, T)) if pre else (lambda t: t)
-        unlay = (lambda t: deinterleave(t, T)) if pre else (lambda t: t)
 
-        # ONE permutation per raster direction of the input; the projections
-        # below are position-wise, so their outputs inherit the layout
-        x2 = jnp.stack([lay(xt), lay(col_major(xt))], axis=1)  # (B, 2, D, L)
+        # ONE fused permutation per raster direction of the input (channel
+        # move + raster + chunk interleave compose); the projections below
+        # are position-wise, so their outputs inherit the layout
+        x2 = jnp.stack(
+            [raster_to_kernel(x, T, col=False), raster_to_kernel(x, T, col=True)],
+            axis=1,
+        )  # (B, 2, D, L)
 
         def project(w, dtw):
             # (dt, B, C) for one scan direction pair; w: (2, C', D) rows of
@@ -318,12 +309,10 @@ class SS2D(nn.Module):
         ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
         ys_r = scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
 
-        # merge: pointwise in kernel layout, then one inverse permutation
-        # per raster (both rasters already aligned — no un-flips needed)
-        row = unlay(ys_f[:, 0] + ys_r[:, 0])     # (B, D, L) row-major
-        col = unlay(ys_f[:, 1] + ys_r[:, 1])     # col-major (l = w*H + h)
-        y = jnp.swapaxes(row, 1, 2).reshape(B, H, W, D)
-        y = y + jnp.transpose(col.reshape(B, D, W, H), (0, 3, 2, 1))
+        # merge: pointwise in kernel layout, then one fused inverse
+        # permutation per raster (both rasters already aligned — no un-flips)
+        y = kernel_to_raster(ys_f[:, 0] + ys_r[:, 0], H, W, T, col=False)
+        y = y + kernel_to_raster(ys_f[:, 1] + ys_r[:, 1], H, W, T, col=True)
         y = self._out_norm(y, flags)
         return y.astype(x.dtype)
 

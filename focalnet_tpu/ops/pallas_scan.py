@@ -740,3 +740,62 @@ def selective_scan_pallas(
 # public names for the pre_interleaved layout helpers
 interleave = _ilv
 deinterleave = _dilv
+
+
+def _raster_factors(H, W, T):
+    """(R, s, t) when the composed raster->kernel permutation applies."""
+    Wb = min(T, BLK)
+    R = T // Wb
+    sq = T // W if W and T % W == 0 else 0   # image rows per chunk (row raster)
+    tq = T // H if H and T % H == 0 else 0   # image cols per chunk (col raster)
+    return R, sq, tq
+
+
+def raster_to_kernel(x, T, col):
+    """NHWC image -> the scan kernel's interleaved chunk layout, fused.
+
+    ``x``: (B, H, W, D).  Returns (B, D, L) laid out so that
+    ``selective_scan(..., pre_interleaved=True)`` scans the row-major
+    (``col=False``) or column-major (``col=True``) raster of the image.
+
+    Equivalent to ``interleave(raster(x.transpose), T)`` but emitted as ONE
+    XLA transpose — the channel move, the raster choice, and the chunk
+    interleave compose into a single permutation whenever the chunk spans
+    whole image rows/columns (``T % W == 0`` / ``T % H == 0``) and the
+    interleave group R = T/128 divides them; otherwise falls back to the
+    two-step form.  (TPU transposes are shuffle-bound, not bandwidth-bound,
+    so each composed-away pass is a real win; no reference analogue — the
+    CUDA build materializes all four rasters with CrossScanTriton,
+    ``csm_triton.py:20-24``.)
+    """
+    B, H, W, D = x.shape
+    L = H * W
+    R, s, t = _raster_factors(H, W, T)
+    if not col and s and H % s == 0 and W % R == 0:
+        # l = h*W + w; h = c*s + h', w = w1*R + r; lane = r*128 + h'*(W/R) + w1
+        x6 = x.reshape(B, H // s, s, W // R, R, D)
+        return jnp.transpose(x6, (0, 5, 1, 4, 2, 3)).reshape(B, D, L)
+    if col and t and W % t == 0 and H % R == 0:
+        # l = w*H + h; w = c*t + w', h = h1*R + h0; lane = h0*128 + w'*(H/R) + h1
+        x6 = x.reshape(B, H // R, R, W // t, t, D)
+        return jnp.transpose(x6, (0, 5, 3, 2, 4, 1)).reshape(B, D, L)
+    xt = jnp.swapaxes(x.reshape(B, L, D), 1, 2)
+    if col:
+        xt = jnp.swapaxes(xt.reshape(B, D, H, W), 2, 3).reshape(B, D, L)
+    return _ilv(xt, T) if L % T == 0 else xt
+
+
+def kernel_to_raster(y, H, W, T, col):
+    """Inverse of :func:`raster_to_kernel`: (B, D, L) kernel layout -> NHWC."""
+    B, D, L = y.shape
+    R, s, t = _raster_factors(H, W, T)
+    if not col and s and H % s == 0 and W % R == 0:
+        y6 = y.reshape(B, D, H // s, R, s, W // R)
+        return jnp.transpose(y6, (0, 2, 4, 5, 3, 1)).reshape(B, H, W, D)
+    if col and t and W % t == 0 and H % R == 0:
+        y6 = y.reshape(B, D, W // t, R, t, H // R)
+        return jnp.transpose(y6, (0, 5, 3, 2, 4, 1)).reshape(B, H, W, D)
+    y = _dilv(y, T) if L % T == 0 else y
+    if col:
+        return jnp.transpose(y.reshape(B, D, W, H), (0, 3, 2, 1))
+    return jnp.swapaxes(y, 1, 2).reshape(B, H, W, D)

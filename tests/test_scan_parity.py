@@ -302,3 +302,32 @@ def test_pre_interleaved_oracle_shim():
     yp = selective_scan(*args, backend="pallas", **kw)
     yc = selective_scan(*args, backend="chunked", **kw)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yc), rtol=6e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("H,W,T", [
+    (128, 128, 2048),  # composed, R=16 (model full-res)
+    (64, 64, 2048),    # composed, chunk spans many rows/cols
+    (32, 32, 1024),    # composed, R=8 (model low-res)
+    (16, 24, 128),     # composed row (T%24!=0 -> col falls back)
+    (8, 8, 128),       # L < T: plain raster fallback (pre-layout unusable)
+    (80, 112, 256),    # eval-padded rectangle: H∤T -> col fallback
+])
+@pytest.mark.parametrize("col", [False, True])
+def test_raster_to_kernel_roundtrip(H, W, T, col):
+    """The fused NHWC->kernel-layout permutation equals the two-step
+    reference (raster transpose + interleave) and round-trips exactly."""
+    from focalnet_tpu.ops.pallas_scan import (
+        interleave, kernel_to_raster, raster_to_kernel,
+    )
+
+    B, D, L = 2, 3, H * W
+    x = jnp.arange(B * H * W * D, dtype=jnp.float32).reshape(B, H, W, D)
+    got = raster_to_kernel(x, T, col)
+    # two-step reference
+    xt = jnp.swapaxes(x.reshape(B, L, D), 1, 2)
+    if col:
+        xt = jnp.swapaxes(xt.reshape(B, D, H, W), 2, 3).reshape(B, D, L)
+    ref = interleave(xt, T) if L % T == 0 else xt
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    back = kernel_to_raster(got, H, W, T, col)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
