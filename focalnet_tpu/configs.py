@@ -77,6 +77,7 @@ class TrainConfig:
     num_worker: int = 8
     save_freq: int = 10
     valid_freq: int = 10
+    valid_batch: int = 1  # >1 = batched validation (same metrics, faster)
     crop_size: int = 256
     seed: int = 1234  # ``main.py:11-14``
     model_save_dir: str = "results/weights"

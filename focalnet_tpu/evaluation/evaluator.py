@@ -40,18 +40,40 @@ def _make_forward(model, params):
     return lambda x: fwd(params, x)
 
 
-def validate(model, params, data_dir: str, factor: int = 32) -> float:
+def validate(model, params, data_dir: str, factor: int = 32,
+             batch_size: int = 1) -> float:
     """``_valid`` (``valid.py:10-46``): mean skimage-PSNR over the test split
-    at full resolution with /32 reflect padding."""
+    at full resolution with /32 reflect padding.
+
+    ``batch_size > 1`` is an opt-in throughput mode with identical metrics:
+    images whose padded shapes match are stacked into one device forward
+    (shape buckets flush on change, so mixed-size sets still work).  The
+    reference protocol is batch-1 (``valid.py:21``) and remains the default.
+    """
     loader = EvalLoader(data_dir, "test")
     fwd = _make_forward(model, params)
     psnr_adder = Adder()
     print("Start Validation...")
+
+    buf = []  # (padded, h, w, gt) with identical padded shapes
+
+    def flush():
+        if not buf:
+            return
+        preds = np.asarray(fwd(np.concatenate([b[0] for b in buf], axis=0)))
+        for pred, (_, h, w, gt) in zip(preds, buf):
+            pred = np.clip(pred[:h, :w], 0.0, 1.0)
+            psnr_adder(psnr_skimage(pred, gt[0]))
+        buf.clear()
+
     for hazy, gt, _ in loader:
         padded, (h, w) = pad_to_multiple(hazy, factor)
-        pred = np.asarray(fwd(padded))[:, :h, :w]
-        pred = np.clip(pred, 0.0, 1.0)
-        psnr_adder(psnr_skimage(pred[0], gt[0]))
+        if buf and (len(buf) >= batch_size or buf[0][0].shape != padded.shape):
+            flush()
+        buf.append((padded, h, w, gt))
+        if batch_size <= 1:
+            flush()
+    flush()
     return psnr_adder.average()
 
 

@@ -61,6 +61,7 @@ def main(args):
         num_worker=args.num_worker,
         save_freq=args.save_freq,
         valid_freq=args.valid_freq,
+        valid_batch=args.valid_batch,
         seed=args.seed,
         model_save_dir=args.model_save_dir,
     )
@@ -131,6 +132,9 @@ def parse_args(argv=None):
     p.add_argument("--num_worker", type=int, default=8)
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--valid_freq", type=int, default=10)
+    p.add_argument("--valid_batch", type=int, default=1,
+                   help=">1 batches same-size validation images per forward "
+                        "(same metrics; the reference protocol is batch-1)")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--seed", type=int, default=1234)
     # test

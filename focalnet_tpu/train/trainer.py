@@ -188,7 +188,8 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         epoch_pixel.reset(); epoch_fft.reset()
 
         if epoch_idx % cfg.valid_freq == 0 or epoch_idx == 1:
-            val = validate(model, params, cfg.data_dir)
+            val = validate(model, params, cfg.data_dir,
+                           batch_size=cfg.valid_batch)
             log("%03d epoch \n Average PSNR %.2f dB" % (epoch_idx, val))
             log_metric(epoch=epoch_idx, psnr=val)
             if val >= best_psnr:

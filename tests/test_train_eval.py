@@ -326,3 +326,36 @@ def test_evaluate_rectangular_images(tmp_path):
     params = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
     out = evaluate(model, params, data)
     assert np.isfinite(out["psnr"]) and 0 < out["ssim"] <= 1
+
+
+def test_validate_batched_matches_batch1(tmp_path):
+    """The opt-in batched validation (valid_batch > 1) returns the same mean
+    PSNR as the reference's batch-1 protocol, including with a mixed-size
+    test set (shape buckets flush on change)."""
+    from focalnet_tpu.data import make_synthetic_dataset
+    from focalnet_tpu.evaluation import validate
+    from focalnet_tpu.models import build_net
+
+    import shutil
+
+    root = make_synthetic_dataset(str(tmp_path / "a"), n_train=2, n_test=3,
+                                  hw=(46, 62))
+    # a second size merged into the same test split under non-colliding names
+    other = make_synthetic_dataset(str(tmp_path / "b"), n_train=0, n_test=2,
+                                   hw=(32, 32), seed=9)
+    for sub in ("gt", "hazy"):
+        src = os.path.join(other, "test", sub)
+        dst = os.path.join(root, "test", sub)
+        for f in os.listdir(src):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, "z" + f))
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4)
+    import jax
+    import jax.numpy as jnp
+
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 64, 64, 3)))
+    ref = validate(model, params, root)
+    for bs in (2, 8):
+        got = validate(model, params, root, batch_size=bs)
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
