@@ -25,11 +25,30 @@ if not _REAL_TPU:
 jax.config.update("jax_enable_x64", False)
 
 # persistent compilation cache: repeated suite runs skip recompiles
-# (the single-core host spends most of the suite compiling otherwise)
+# (the single-core host spends most of the suite compiling otherwise).
+# The dir is keyed by a host-CPU fingerprint: XLA:CPU cache entries are AOT
+# executables compiled for the exact host microarchitecture, and loading an
+# entry produced on a different machine can SEGFAULT the process (observed:
+# crash in compilation_cache.get_executable_and_time after a host change
+# mid-project, preceded by "Machine type used for XLA:CPU compilation
+# doesn't match" warnings).
+def _host_cpu_tag():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            src = next(l for l in f if l.startswith("flags"))
+    except Exception:
+        import platform
+
+        src = platform.processor() or platform.machine()
+    return hashlib.md5(src.encode()).hexdigest()[:8]
+
+
 try:
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.expanduser("~/.jax_cache_tests"),
+        os.path.expanduser(f"~/.jax_cache_tests_{_host_cpu_tag()}"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:

@@ -11,6 +11,24 @@ from focalnet_tpu.ops.scan_ref import selective_scan_ref
 from focalnet_tpu.parallel import make_mesh, selective_scan_seq_sharded
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """Compile this module without the persistent cache: serializing the
+    donated 8-device train-step executable ABORTS inside XLA:CPU's AOT
+    serializer when it happens late in a long pytest process (reproducible
+    at test_data_parallel_train_step_matches_single_device after ~40 other
+    tests; the same executable serializes fine in a fresh process).  The
+    cache write is the only casualty — skip it for these few executables.
+    (Neither clearing the dir nor jax_enable_compilation_cache takes effect
+    mid-process — both are consulted through state memoized at first use.
+    persistent_cache_min_compile_time_secs IS read dynamically immediately
+    before each write, so an absurd threshold is the reliable off switch.)"""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
