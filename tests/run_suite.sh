@@ -9,6 +9,10 @@
 # cache, so a warm full-suite pass stays fast on the 1-core host.
 set -u
 cd "$(dirname "$0")/.."
+# per-file processes are short-lived, so the persistent compile cache is safe
+# here (and essential for speed on the 1-core host); plain `pytest tests/`
+# leaves it off — see conftest.py
+export FOCALNET_TEST_CACHE=1
 fail=0
 total=""
 for f in tests/test_*.py; do
