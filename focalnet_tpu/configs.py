@@ -45,6 +45,9 @@ class ModelConfig:
     ssm_drop_rate: float = 0.0
     ssm_init: str = "v0"
     forward_type: str = "v4"
+    # dtype for the SS2D projection-einsum INPUTS (fp32 accumulation either
+    # way; "" keeps the operand dtype — exact reference-parity numerics)
+    ssm_proj_dtype: str = ""
 
     # MLP branch
     mlp_ratio: float = 1.0
@@ -55,6 +58,12 @@ class ModelConfig:
     use_checkpoint: bool = False
     scan_backend: str = "auto"  # auto | pallas | chunked | assoc | ref
     compute_dtype: str = "float32"  # params fp32; bf16 activations opt-in
+    # multi-chip: mesh axis names for sequence-parallel SS2D scans (the scan
+    # L = H*W is sharded over `seq_axis`; `data_axis` names the batch axis so
+    # the prefix exchange stays within each data shard's subgroup).  The Mesh
+    # itself is passed to build_net(seq_mesh=...) — not serializable config.
+    seq_axis: Any = None    # Optional[str]
+    data_axis: Any = None   # Optional[str]
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
@@ -81,8 +90,10 @@ class TrainConfig:
     crop_size: int = 256
     seed: int = 1234  # ``main.py:11-14``
     model_save_dir: str = "results/weights"
-    # TPU-specific
-    mesh_shape: Tuple[int, ...] = (1,)
+    # TPU-specific.  mesh_shape=None -> auto: DP over the largest device
+    # count that divides batch_size (all devices when batch_size % n == 0),
+    # so multi-device hosts data-parallelize out of the box.
+    mesh_shape: Any = None  # Optional[Tuple[int, ...]]
     mesh_axes: Tuple[str, ...] = ("data",)
 
     def replace(self, **kw) -> "TrainConfig":

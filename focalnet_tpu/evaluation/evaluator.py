@@ -47,8 +47,12 @@ def validate(model, params, data_dir: str, factor: int = 32,
 
     ``batch_size > 1`` is an opt-in throughput mode with identical metrics:
     images whose padded shapes match are stacked into one device forward
-    (shape buckets flush on change, so mixed-size sets still work).  The
-    reference protocol is batch-1 (``valid.py:21``) and remains the default.
+    (shape buckets flush on change, so mixed-size sets still work).  Partial
+    buckets are padded up to ``batch_size`` with a repeat of the last image
+    (its extra PSNR discarded), so only ONE batch shape compiles per padded
+    size — on the real chip each distinct shape costs minutes of compile.
+    The reference protocol is batch-1 (``valid.py:21``) and remains the
+    default.
     """
     loader = EvalLoader(data_dir, "test")
     fwd = _make_forward(model, params)
@@ -60,7 +64,9 @@ def validate(model, params, data_dir: str, factor: int = 32,
     def flush():
         if not buf:
             return
-        preds = np.asarray(fwd(np.concatenate([b[0] for b in buf], axis=0)))
+        n = len(buf)
+        stack = [b[0] for b in buf] + [buf[-1][0]] * (batch_size - n)
+        preds = np.asarray(fwd(np.concatenate(stack, axis=0)))[:n]
         for pred, (_, h, w, gt) in zip(preds, buf):
             pred = np.clip(pred[:h, :w], 0.0, 1.0)
             psnr_adder(psnr_skimage(pred, gt[0]))

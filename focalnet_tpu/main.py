@@ -49,10 +49,32 @@ def main(args):
     overrides = {}
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
-    model = build_net(args.preset, **overrides)
+    if args.vssg_dim:
+        overrides["vssg_dim"] = args.vssg_dim
+    if args.ssm_d_state:
+        overrides["ssm_d_state"] = args.ssm_d_state
+    if args.scan_backend:
+        overrides["scan_backend"] = args.scan_backend
+
+    # mesh: "" -> auto DP over all devices dividing the batch; "N" -> DP
+    # over N devices; "N,M" -> dp x sp (batch on data, SS2D scans
+    # sequence-sharded on seq — kernel-backed, parallel/seq_scan.py)
+    mesh_shape = tuple(int(s) for s in args.mesh_shape.split(",") if s) or None
+    mesh_axes = ("data",) if not mesh_shape or len(mesh_shape) == 1 else ("data", "seq")
+    seq_mesh = None
+    if mesh_shape and len(mesh_shape) > 1:
+        from focalnet_tpu.parallel import make_mesh
+
+        seq_mesh = make_mesh(mesh_shape, mesh_axes)
+        overrides["seq_axis"] = "seq"
+        overrides["data_axis"] = "data"
+
+    model = build_net(args.preset, seq_mesh=seq_mesh, **overrides)
     cfg = PRESETS[args.preset].replace(**overrides) if overrides else PRESETS[args.preset]
 
     train_cfg = TrainConfig(
+        mesh_shape=mesh_shape,
+        mesh_axes=mesh_axes,
         data_dir=args.data_dir,
         batch_size=args.batch_size,
         learning_rate=args.learning_rate,
@@ -62,6 +84,7 @@ def main(args):
         save_freq=args.save_freq,
         valid_freq=args.valid_freq,
         valid_batch=args.valid_batch,
+        crop_size=args.crop_size,
         seed=args.seed,
         model_save_dir=args.model_save_dir,
     )
@@ -126,7 +149,11 @@ def parse_args(argv=None):
     # train (defaults = ``main.py:71-78``)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-4)
-    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.0,
+                   help="accepted for CLI parity but UNUSED — the reference "
+                        "also never passes it to its optimizer "
+                        "(ITS/main.py:73 defines it; ITS/train.py:17 builds "
+                        "Adam without weight_decay)")
     p.add_argument("--num_epoch", type=int, default=300)
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--num_worker", type=int, default=8)
@@ -137,6 +164,11 @@ def parse_args(argv=None):
                         "(same metrics; the reference protocol is batch-1)")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--mesh_shape", type=str, default="",
+                   help="device mesh, comma ints: '' = auto DP over all "
+                        "devices dividing batch_size; '4' = DP over 4; "
+                        "'2,4' = dp x sp (batch on data, SS2D scans "
+                        "sequence-sharded over seq)")
     # test
     p.add_argument("--test_model", type=str, default="results/weights/Best")
     p.add_argument("--save_image", action="store_true")
@@ -147,6 +179,13 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", type=str, default="",
                    choices=["", "float32", "bfloat16"],
                    help="activation compute dtype (params stay fp32)")
+    # architecture overrides (0/"" = keep the preset's value); mainly for
+    # scaled-down experiments and the CPU-mesh integration tests
+    p.add_argument("--vssg_dim", type=int, default=0)
+    p.add_argument("--crop_size", type=int, default=256)
+    p.add_argument("--ssm_d_state", type=int, default=0)
+    p.add_argument("--scan_backend", type=str, default="",
+                   choices=["", "auto", "pallas", "chunked", "assoc", "ref"])
     return p.parse_args(argv)
 
 

@@ -65,6 +65,16 @@ class BasicConv(nn.Module):
             pad = k // 2
             x = nn.Conv(padding=[(pad, pad), (pad, pad)], **common)(x)
         if self.norm:
+            # Latent foot-gun, deliberately guarded: no call site in any of
+            # the four presets uses norm=True (the reference builds every
+            # BasicConv with norm=False), and nothing threads the mutable
+            # ``batch_stats`` collection BatchNorm needs during training.
+            # Fail loudly at init rather than deep inside a train step.
+            assert not train or self.is_mutable_collection("batch_stats"), (
+                "BasicConv(norm=True) under training requires the caller to "
+                "thread a mutable 'batch_stats' collection through "
+                "model.apply; no preset does — wire it up before enabling."
+            )
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5
             )(x)

@@ -14,7 +14,7 @@ the reference (index [2] is the full-resolution restoration used by eval,
 
 from __future__ import annotations
 
-
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -37,6 +37,7 @@ class StageStack(nn.Module):
 
     channels: int
     cfg: ModelConfig
+    seq_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, train: bool = False):
@@ -67,6 +68,11 @@ class StageStack(nn.Module):
                     use_checkpoint=c.use_checkpoint,
                     scan_backend=c.scan_backend,
                     dtype=_cfg_dtype(c),
+                    proj_dtype=(None if c.ssm_proj_dtype in (None, "", "float32", "fp32")
+                                else c.ssm_proj_dtype),
+                    seq_mesh=self.seq_mesh,
+                    seq_axis=c.seq_axis,
+                    data_axis=c.data_axis,
                     name=f"layers_{i}",
                 )(res, deterministic=deterministic)
             else:  # baseline conv ResBlocks
@@ -85,6 +91,9 @@ class MIMOUNet(nn.Module):
     """3-scale MIMO-UNet (``MIMOUNet.py:79-162``), dims [32, 64, 128]."""
 
     cfg: ModelConfig
+    # the Mesh for the cfg.seq_axis sequence-parallel scans (not part of
+    # ModelConfig: a Mesh is not JSON-serializable config)
+    seq_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, train: bool = False):
@@ -108,19 +117,19 @@ class MIMOUNet(nn.Module):
         outputs = []
         # full res
         x_ = BasicConv(d0, 3, act=True, dtype=dt, name="feat_extract_0")(x, **ckw)
-        res1 = StageStack(d0, self.cfg, name="Encoder_0")(x_, **kw)
+        res1 = StageStack(d0, self.cfg, seq_mesh=self.seq_mesh, name="Encoder_0")(x_, **kw)
         # half res
         z = BasicConv(d1, 3, stride=2, act=True, dtype=dt,
                       name="feat_extract_1")(res1, **ckw)
         z = FAM(d1, dtype=dt, name="FAM2")(z, z2, **ckw)
-        res2 = StageStack(d1, self.cfg, name="Encoder_1")(z, **kw)
+        res2 = StageStack(d1, self.cfg, seq_mesh=self.seq_mesh, name="Encoder_1")(z, **kw)
         # quarter res
         z = BasicConv(d2, 3, stride=2, act=True, dtype=dt,
                       name="feat_extract_2")(res2, **ckw)
         z = FAM(d2, dtype=dt, name="FAM1")(z, z4, **ckw)
-        z = StageStack(d2, self.cfg, name="Encoder_2")(z, **kw)
+        z = StageStack(d2, self.cfg, seq_mesh=self.seq_mesh, name="Encoder_2")(z, **kw)
 
-        z = StageStack(d2, self.cfg, name="Decoder_0")(z, **kw)
+        z = StageStack(d2, self.cfg, seq_mesh=self.seq_mesh, name="Decoder_0")(z, **kw)
         z_ = BasicConv(3, 3, act=False, dtype=dt, name="ConvsOut_0")(z, **ckw)
         z = BasicConv(d1, 4, stride=2, act=True, transpose=True, dtype=dt,
                       name="feat_extract_3")(z, **ckw)
@@ -128,7 +137,7 @@ class MIMOUNet(nn.Module):
 
         z = jnp.concatenate([z, res2], axis=-1)
         z = BasicConv(d1, 1, act=True, dtype=dt, name="Convs_0")(z, **ckw)
-        z = StageStack(d1, self.cfg, name="Decoder_1")(z, **kw)
+        z = StageStack(d1, self.cfg, seq_mesh=self.seq_mesh, name="Decoder_1")(z, **kw)
         z_ = BasicConv(3, 3, act=False, dtype=dt, name="ConvsOut_1")(z, **ckw)
         z = BasicConv(d0, 4, stride=2, act=True, transpose=True, dtype=dt,
                       name="feat_extract_4")(z, **ckw)
@@ -136,7 +145,7 @@ class MIMOUNet(nn.Module):
 
         z = jnp.concatenate([z, res1], axis=-1)
         z = BasicConv(d0, 1, act=True, dtype=dt, name="Convs_1")(z, **ckw)
-        z = StageStack(d0, self.cfg, name="Decoder_2")(z, **kw)
+        z = StageStack(d0, self.cfg, seq_mesh=self.seq_mesh, name="Decoder_2")(z, **kw)
         z = BasicConv(3, 3, act=False, dtype=dt, name="feat_extract_5")(z, **ckw)
         outputs.append(z + x)
 
@@ -145,10 +154,14 @@ class MIMOUNet(nn.Module):
         return outputs
 
 
-def build_net(preset: str = "1mlp_g2", **overrides) -> MIMOUNet:
+def build_net(preset: str = "1mlp_g2", seq_mesh=None, **overrides) -> MIMOUNet:
     """Factory mirroring ``build_net()`` (``MIMOUNet.py:181-182``), extended
-    with the 4 trained configurations as named presets (SURVEY.md §0)."""
+    with the 4 trained configurations as named presets (SURVEY.md §0).
+
+    ``seq_mesh``: the jax Mesh carrying ``cfg.seq_axis`` / ``cfg.data_axis``
+    for sequence-parallel SS2D scans (pass seq_axis/data_axis as overrides).
+    """
     cfg = PRESETS[preset]
     if overrides:
         cfg = cfg.replace(**overrides)
-    return MIMOUNet(cfg=cfg)
+    return MIMOUNet(cfg=cfg, seq_mesh=seq_mesh)

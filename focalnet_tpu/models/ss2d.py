@@ -157,6 +157,17 @@ class SS2D(nn.Module):
     scan_backend: str = "auto"
     scan_chunk: int = 2048
     dtype: Any = None  # computation dtype; scan state stays fp32
+    # dtype for the x_proj/dt_proj einsum INPUTS (fp32 accumulation via
+    # preferred_element_type either way).  bfloat16 feeds the MXU at 2x rate;
+    # None keeps the operand dtype (exact torch parity)
+    proj_dtype: Any = None
+    # sequence parallelism: shard the scan length L = H*W over mesh axis
+    # `seq_axis` of `seq_mesh` (kernel-backed segment scan + prefix exchange,
+    # :mod:`focalnet_tpu.parallel.seq_scan`); `data_axis` names the mesh axis
+    # the batch is sharded over (dp x sp composition), None for sp-only
+    seq_mesh: Any = None    # Optional[jax.sharding.Mesh]
+    seq_axis: Any = None    # Optional[str]
+    data_axis: Any = None   # Optional[str]
 
     @property
     def d_inner(self):
@@ -258,27 +269,46 @@ class SS2D(nn.Module):
         L = H * W
         x_proj, dt_w, dt_b, A_logs, Ds = self._ssm_params()
 
-        T = scan_chunk_for(L, self.scan_chunk)
-        pre = L % T == 0  # kernel layout needs whole chunks (no padding)
+        seq = self.seq_axis is not None and self.seq_mesh is not None
+        if seq:
+            # sequence-parallel: chunks are sized for the PER-DEVICE length
+            # so neither interleave groups nor kernel chunks span devices
+            ndev = self.seq_mesh.shape[self.seq_axis]
+            if L % ndev != 0:
+                raise ValueError(f"L={L} not divisible by {self.seq_axis}={ndev}")
+            Lloc = L // ndev
+            T = scan_chunk_for(Lloc, self.scan_chunk)
+            pre = Lloc % T == 0
+        else:
+            T = scan_chunk_for(L, self.scan_chunk)
+            pre = L % T == 0  # kernel layout needs whole chunks (no padding)
 
         # ONE fused permutation per raster direction of the input (channel
         # move + raster + chunk interleave compose); the projections below
         # are position-wise, so their outputs inherit the layout
         x2 = jnp.stack(
-            [raster_to_kernel(x, T, col=False), raster_to_kernel(x, T, col=True)],
+            [
+                raster_to_kernel(x, T, col=False, ilv=pre),
+                raster_to_kernel(x, T, col=True, ilv=pre),
+            ],
             axis=1,
         )  # (B, 2, D, L)
+
+        pd = jnp.dtype(self.proj_dtype) if self.proj_dtype else None
+        cast = (lambda t: t.astype(pd)) if pd is not None else (lambda t: t)
 
         def project(w, dtw):
             # (dt, B, C) for one scan direction pair; w: (2, C', D) rows of
             # x_proj, dtw: (2, D, R) rows of dt_w (direction order k = 0 row,
             # 1 col, 2 row-reversed, 3 col-reversed, ``csm_triton.py:20-24``)
             xd = jnp.einsum(
-                "bgdl,gcd->bgcl", x2, w, preferred_element_type=jnp.float32
+                "bgdl,gcd->bgcl", cast(x2), cast(w),
+                preferred_element_type=jnp.float32,
             ).astype(x.dtype)
             dts, Bs, Cs = jnp.split(xd, [R, R + N], axis=-2)
             dts = jnp.einsum(
-                "bgrl,gdr->bgdl", dts, dtw, preferred_element_type=jnp.float32
+                "bgrl,gdr->bgdl", cast(dts), cast(dtw),
+                preferred_element_type=jnp.float32,
             ).astype(x.dtype)
             return dts.reshape(B, 2 * D, L), Bs, Cs
 
@@ -295,24 +325,42 @@ class SS2D(nn.Module):
             Bs_f, Bs_r = Bs_f.astype(jnp.float32), Bs_r.astype(jnp.float32)
             Cs_f, Cs_r = Cs_f.astype(jnp.float32), Cs_r.astype(jnp.float32)
 
-        scan = lambda delta, Bm, Cm, lo, reverse: selective_scan(
-            u2, delta, A[lo : lo + 2 * D], Bm, Cm,
-            D=Ds32[lo : lo + 2 * D],
-            delta_bias=bias[lo : lo + 2 * D],
-            delta_softplus=True,
-            out_dtype=jnp.float32,
-            backend=self.scan_backend,
-            chunk=self.scan_chunk,
-            reverse=reverse,
-            pre_interleaved=pre,
-        )
+        if seq:
+            from focalnet_tpu.parallel.seq_scan import selective_scan_seq_sharded
+
+            scan = lambda delta, Bm, Cm, lo, reverse: selective_scan_seq_sharded(
+                u2, delta, A[lo : lo + 2 * D], Bm, Cm,
+                D=Ds32[lo : lo + 2 * D],
+                delta_bias=bias[lo : lo + 2 * D],
+                delta_softplus=True,
+                out_dtype=jnp.float32,
+                backend=self.scan_backend,
+                chunk=self.scan_chunk,
+                reverse=reverse,
+                pre_interleaved=pre,
+                mesh=self.seq_mesh,
+                axis=self.seq_axis,
+                batch_axis=self.data_axis,
+            )
+        else:
+            scan = lambda delta, Bm, Cm, lo, reverse: selective_scan(
+                u2, delta, A[lo : lo + 2 * D], Bm, Cm,
+                D=Ds32[lo : lo + 2 * D],
+                delta_bias=bias[lo : lo + 2 * D],
+                delta_softplus=True,
+                out_dtype=jnp.float32,
+                backend=self.scan_backend,
+                chunk=self.scan_chunk,
+                reverse=reverse,
+                pre_interleaved=pre,
+            )
         ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
         ys_r = scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
 
         # merge: pointwise in kernel layout, then one fused inverse
         # permutation per raster (both rasters already aligned — no un-flips)
-        y = kernel_to_raster(ys_f[:, 0] + ys_r[:, 0], H, W, T, col=False)
-        y = y + kernel_to_raster(ys_f[:, 1] + ys_r[:, 1], H, W, T, col=True)
+        y = kernel_to_raster(ys_f[:, 0] + ys_r[:, 0], H, W, T, col=False, ilv=pre)
+        y = y + kernel_to_raster(ys_f[:, 1] + ys_r[:, 1], H, W, T, col=True, ilv=pre)
         y = self._out_norm(y, flags)
         return y.astype(x.dtype)
 

@@ -47,6 +47,10 @@ class VSSBlock(nn.Module):
     use_checkpoint: bool = False
     scan_backend: str = "auto"
     dtype: Any = None
+    proj_dtype: Any = None
+    seq_mesh: Any = None
+    seq_axis: Any = None
+    data_axis: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -68,6 +72,10 @@ class VSSBlock(nn.Module):
                     forward_type=mdl.forward_type,
                     scan_backend=mdl.scan_backend,
                     dtype=mdl.dtype,
+                    proj_dtype=mdl.proj_dtype,
+                    seq_mesh=mdl.seq_mesh,
+                    seq_axis=mdl.seq_axis,
+                    data_axis=mdl.data_axis,
                     name="op",
                 )
                 h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
@@ -112,6 +120,10 @@ def _make_blocks(prefix, depth, dim, dpr, cfg, scan_backend):
             use_checkpoint=cfg["use_checkpoint"],
             scan_backend=scan_backend,
             dtype=cfg.get("dtype"),
+            proj_dtype=cfg.get("proj_dtype"),
+            seq_mesh=cfg.get("seq_mesh"),
+            seq_axis=cfg.get("seq_axis"),
+            data_axis=cfg.get("data_axis"),
             name=f"{prefix}{d}",
         )
         for d in range(depth)
@@ -152,6 +164,10 @@ class VSSG(nn.Module):
     use_checkpoint: bool = False
     scan_backend: str = "auto"
     dtype: Any = None
+    proj_dtype: Any = None
+    seq_mesh: Any = None
+    seq_axis: Any = None
+    data_axis: Any = None
 
     def _patch_embed(self, x, ps, name):
         """conv(k=ps, s=ps) + LayerNorm (``vmamba_layers.py:940-947``)."""
@@ -186,6 +202,9 @@ class VSSG(nn.Module):
             forward_type=self.forward_type, mlp_ratio=self.mlp_ratio,
             mlp_act=self.mlp_act, mlp_drop_rate=self.mlp_drop_rate,
             use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+            proj_dtype=self.proj_dtype,
+            seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
+            data_axis=self.data_axis,
         )
         total_depth = sum(self.depths)
         dpr = list(np.linspace(0.0, self.drop_path_rate, total_depth))

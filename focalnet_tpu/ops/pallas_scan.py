@@ -285,22 +285,53 @@ def _compute_dt(delta_ref, bias_ref, softplus):
     return dt
 
 
+def _pad_mask(l, shape, L, T, nL, reverse):
+    """(rows, T) mask of PAD elements (global position >= L) in this chunk.
+
+    Host-side zero padding leaves ``dt = softplus(0 + bias) != 0`` in the pad
+    tail, which would decay the carried state — harmless for y (the tail is
+    cropped) but wrong for the h0/h_last segment API.  Masking ``dt`` to 0
+    there makes pad elements monoid identities (a=1, b=0).  Element index is
+    recovered from the interleaved lane layout (lane j holds element
+    (j%W)*R + j//W, see :func:`_ilv`).
+    """
+    c = (nL - 1 - l) if reverse else l
+    W = min(T, BLK)
+    R = T // W
+    cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    elem = (cid % W) * R + cid // W
+    return c * T + elem >= L
+
+
 def _fwd_kernel(
-    u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref,
-    y_ref, hchk_ref,
-    h_state,
-    *, N, T, D_blk, softplus, has_D, reverse,
+    u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, *refs,
+    N, T, D_blk, softplus, has_D, reverse, L, nL, with_state,
 ):
+    # with_state (static) appends the segment-API refs: an h0 seed input and
+    # an h_last output.  The plain path (with_state=False) is unchanged from
+    # the state-free kernel — zero overhead when nobody wants the state.
+    # (refs = remaining inputs + outputs + scratch, all positional.)
+    if with_state:
+        h0_ref, y_ref, hchk_ref, hlast_ref, h_state = refs
+    else:
+        y_ref, hchk_ref, h_state = refs
     l = pl.program_id(3)
 
     @pl.when(l == 0)
     def _():
-        h_state[...] = jnp.zeros(h_state.shape, h_state.dtype)
+        # seed with the caller's initial state (zeros for a plain scan; a
+        # left-neighbor prefix for the sequence-sharded segment API)
+        if with_state:
+            h_state[...] = h0_ref[0, 0, 0]
+        else:
+            h_state[...] = jnp.zeros(h_state.shape, h_state.dtype)
 
     # state entering this chunk (for backward rematerialization)
     hchk_ref[0, 0, 0, 0] = h_state[...]
 
     dt = _compute_dt(delta_ref, bias_ref, softplus)          # (D_blk, T)
+    if L % T != 0:  # padded tail: make pad elements monoid identities
+        dt = jnp.where(_pad_mask(l, dt.shape, L, T, nL, reverse), 0.0, dt)
     u = u_ref[0, 0].astype(jnp.float32)                      # (D_blk, T)
     A_col = A_ref[0, 0].astype(jnp.float32)                 # (NR, 1) n-major
     Bm = B_ref[0, 0].astype(jnp.float32)                     # (N, T)
@@ -331,27 +362,60 @@ def _fwd_kernel(
     if has_D:
         y = y + D_ref[0, 0].astype(jnp.float32) * u
     y_ref[0, 0] = y.astype(y_ref.dtype)
+    if with_state:
+        # pinned block: last grid step's write wins == the scan's leaving state
+        hlast_ref[0, 0, 0] = h_state[...]
 
 
 def _bwd_kernel(
     u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, hchk_ref, dy_ref,
-    du_ref, ddelta_ref, dA_ref, dB_ref, dC_ref, dD_ref, dbias_ref,
-    g_state,
-    *, N, T, D_blk, softplus, has_D, reverse,
+    *refs,
+    N, T, D_blk, softplus, has_D, reverse, L, nL, with_state,
 ):
-    # index maps traverse chunks OPPOSITE to the forward scan's direction;
-    # g_state carries the adjoint across the chunk boundary.
-    l = pl.program_id(3)
+    if with_state:
+        (dhlast_ref, du_ref, ddelta_ref, dA_ref, dB_ref, dC_ref, dD_ref,
+         dbias_ref, dh0_ref, g_state) = refs
+    else:
+        (du_ref, ddelta_ref, dA_ref, dB_ref, dC_ref, dD_ref,
+         dbias_ref, g_state) = refs
+    # Grid order (b, g, l, j): the CHANNEL-block axis j is INNERMOST so the
+    # dB/dC output block for a given chunk is revisited on ADJACENT steps —
+    # it stays in VMEM, is accumulated across all nD channel blocks, and is
+    # written to HBM ONCE (the analogue of the CUDA backward's atomicAdd on
+    # dB/dC, ``cusoflex/selective_scan_bwd_kernel_oflex.cuh:22-323``; the
+    # r2 kernel wrote Bsz*nD full-length copies summed on the host instead).
+    # The adjoint carry is per-j, kept in a (nD, NR, 1) scratch.  Chunks
+    # still traverse OPPOSITE to the forward scan's direction via the l maps.
+    l = pl.program_id(2)
+    j = pl.program_id(3)
 
     @pl.when(l == 0)
     def _():
-        g_state[...] = jnp.zeros(g_state.shape, g_state.dtype)
+        # the adjoint of the h_last output seeds the reverse-direction carry
+        if with_state:
+            g_state[j] = dhlast_ref[0, 0, j]
+        else:
+            g_state[j] = jnp.zeros((g_state.shape[1], 1), g_state.dtype)
+
+    @pl.when((l == 0) & (j == 0))
+    def _():
         dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
         dD_ref[...] = jnp.zeros(dD_ref.shape, dD_ref.dtype)
         dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
+    @pl.when(j == 0)
+    def _():
+        dB_ref[...] = jnp.zeros(dB_ref.shape, dB_ref.dtype)
+        dC_ref[...] = jnp.zeros(dC_ref.shape, dC_ref.dtype)
+
     dt_pre = delta_ref[0, 0].astype(jnp.float32) + bias_ref[0, 0].astype(jnp.float32)
     dt = jax.nn.softplus(dt_pre) if softplus else dt_pre     # (D_blk, T)
+    pad = None
+    if L % T != 0:
+        # the bwd grid walks chunks opposite to the forward scan, so the
+        # chunk index seen at program step l is the fwd's mirror
+        pad = _pad_mask(l, dt.shape, L, T, nL, not reverse)
+        dt = jnp.where(pad, 0.0, dt)
     u = u_ref[0, 0].astype(jnp.float32)
     A_col = A_ref[0, 0].astype(jnp.float32)                 # (NR, 1) n-major
     Bm = B_ref[0, 0].astype(jnp.float32)                     # (N, T)
@@ -386,7 +450,7 @@ def _bwd_kernel(
             h = hb[0]
             h_next = jnp.where(last_col, h_in, pltpu.roll(h, T - 1, 1))
             a_prev = jnp.where(col_ids == 0, 0.0, pltpu.roll(a, 1, 1))
-            e = jnp.where(col_ids == 0, e + g_state[...], e)
+            e = jnp.where(col_ids == 0, e + g_state[j], e)
             G = _pair_scan_fwd(a_prev, e, col_ids, T, need_a=False)[1]
         else:
             # element i+1 of (q, r): (q, r+1) for r < R-1, else (q+1, 0)
@@ -398,10 +462,10 @@ def _bwd_kernel(
             a_bl, _ = _blocks(a, T)
             ap0 = jnp.where(pids == 0, 0.0, pltpu.roll(a_bl[-1], 1, 1))
             a_prev = jnp.concatenate([ap0] + a_bl[:-1], axis=1)
-            e = jnp.where(col_ids == 0, e + g_state[...], e)
+            e = jnp.where(col_ids == 0, e + g_state[j], e)
             Gb = _ilv_fwd(a_prev, e, col_ids, T)             # R x (NR, W)
             G = jnp.concatenate(Gb, axis=1)
-        g_state[...] = a[:, T - 1 : T] * G[:, T - 1 : T]
+        g_state[j] = a[:, T - 1 : T] * G[:, T - 1 : T]
         h_adj = h_next
     else:
         b_fold = jnp.where(col_ids == 0, b + a * h_in, b)
@@ -416,36 +480,54 @@ def _bwd_kernel(
             h_prev = jnp.concatenate([hp0] + hb[:-1], axis=1)
             h = jnp.concatenate(hb, axis=1)
         # reverse adjoint scan: G_i = C_i dy_i + a_{i+1} G_{i+1}
-        e = jnp.where(last_col, e + g_state[...], e)
+        e = jnp.where(last_col, e + g_state[j], e)
         Gb = _ilv_rev(a, e, col_ids, T)                      # R x (NR, W)
         G = Gb[0] if len(Gb) == 1 else jnp.concatenate(Gb, axis=1)
-        g_state[...] = a[:, 0:1] * G[:, 0:1]  # element 0 = global lane 0
+        g_state[j] = a[:, 0:1] * G[:, 0:1]  # element 0 = global lane 0
         h_adj = h_prev
 
     Gh_a = G * h_adj * a
     du = _block_sum(G * dt_rep * B_full, N, D_blk)           # (D_blk, T)
     ddt = _block_sum(G * _rows(u, N) * B_full + Gh_a * A_col, N, D_blk)
+    if pad is not None:
+        # pad elements are identities: no dt sensitivity may leak into the
+        # dbias reduction (the Gh_a*A term is nonzero there when a carried
+        # h0/dh_last state passes through the pad tail)
+        ddt = jnp.where(pad, 0.0, ddt)
     dB = _row_block_sums(G * du_in_rep, N, D_blk)            # (N, T)
     dC = _row_block_sums(h * dy_rep, N, D_blk)
-    dA_ref[0, 0, 0] += jnp.sum(Gh_a * dt_rep, axis=1, keepdims=True)  # (NR, 1)
+    dA_ref[0, 0, j] += jnp.sum(Gh_a * dt_rep, axis=1, keepdims=True)  # (NR, 1)
 
     if has_D:
         Dv = D_ref[0, 0].astype(jnp.float32)                 # (D_blk, 1)
         du = du + Dv * dy
-        dD_ref[0, 0, 0] += jnp.sum(dy * u, axis=1, keepdims=True)
+        dD_ref[0, 0, j] += jnp.sum(dy * u, axis=1, keepdims=True)
 
     ddt_pre = ddt * jax.nn.sigmoid(dt_pre) if softplus else ddt
-    dbias_ref[0, 0, 0] += jnp.sum(ddt_pre, axis=1, keepdims=True)
+    dbias_ref[0, 0, j] += jnp.sum(ddt_pre, axis=1, keepdims=True)
 
     du_ref[0, 0] = du.astype(du_ref.dtype)
     ddelta_ref[0, 0] = ddt_pre.astype(ddelta_ref.dtype)
-    dB_ref[0, 0] = dB.astype(dB_ref.dtype)
-    dC_ref[0, 0] = dC.astype(dC_ref.dtype)
+    # j-accumulated in VMEM (zeroed at j == 0), flushed once per chunk
+    dB_ref[0, 0] += dB.astype(dB_ref.dtype)
+    dC_ref[0, 0] += dC.astype(dC_ref.dtype)
+    if with_state:
+        # pinned block: the final carry (after the scan-entry chunk is
+        # processed) is the adjoint of the seed state h0
+        dh0_ref[0, 0, j] = g_state[j]
 
 
 def _pick_chunk(L, chunk):
-    """Largest lane-aligned chunk size dividing the padded L."""
+    """Largest lane-aligned chunk size dividing the padded L.
+
+    Candidates above BLK lanes must be BLK-multiples — the interleaved
+    block layout (:func:`_ilv`) reshapes each T-lane chunk to (W=128, R=T/W),
+    so e.g. a user-supplied chunk=320 is skipped (not an error) even when
+    L % 320 == 0.
+    """
     for T in (chunk, 2048, 1024, 512, 256, 128):
+        if T > BLK and T % BLK != 0:
+            continue
         if T <= chunk and L % T == 0:
             return T
     return 128
@@ -458,6 +540,23 @@ def _pick_dblk(D, N, T):
         if D % d == 0:
             return d
     return 1
+
+
+def _state_to_rows(h, nD, D_blk, N):
+    """State (B, G, D, N) -> the kernel's n-major (B, G, nD, NR, 1) rows
+    (row r = n*D_blk + d, matching the A layout built in :func:`_prep`)."""
+    Bsz, G = h.shape[:2]
+    return jnp.swapaxes(h.reshape(Bsz, G, nD, D_blk, N), 3, 4).reshape(
+        Bsz, G, nD, N * D_blk, 1
+    )
+
+
+def _state_from_rows(h, nD, D_blk, N):
+    """Inverse of :func:`_state_to_rows`: (B, G, nD, NR, 1) -> (B, G, D, N)."""
+    Bsz, G = h.shape[:2]
+    return jnp.swapaxes(h.reshape(Bsz, G, nD, N, D_blk), 3, 4).reshape(
+        Bsz, G, nD * D_blk, N
+    )
 
 
 def _pad_L(x, Lp):
@@ -511,13 +610,13 @@ def scan_chunk_for(L, chunk=DEF_CHUNK):
     return _pick_chunk(L, chunk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def _scan_core(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv):
-    y, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv)
-    return y
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def _scan_core(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state):
+    y, h_last, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state)
+    return y, h_last
 
 
-def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv):
+def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state):
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
         u, delta, A, B, C, Dskip, delta_bias, chunk, pre_ilv
     )
@@ -527,7 +626,7 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dt
     grid = (Bsz, G, nD, nL)
     kernel = functools.partial(
         _fwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D,
-        reverse=reverse,
+        reverse=reverse, L=L, nL=nL, with_state=with_state,
     )
     # a reverse scan walks the chunk grid right-to-left
     if reverse:
@@ -538,40 +637,57 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dt
         seq = lambda b, g, j, l: (b, g, j, l)
         seq_bc = lambda b, g, j, l: (b, g, 0, l)
         seq_chk = lambda b, g, j, l: (b, g, j, l, 0, 0)
-    y, hchk = pl.pallas_call(
+    state = lambda b, g, j, l: (b, g, j, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, D_blk, T), seq),                              # u
+        pl.BlockSpec((1, 1, D_blk, T), seq),                              # delta
+        pl.BlockSpec((1, 1, NR, 1), lambda b, g, j, l: (g, j, 0, 0)),     # A
+        pl.BlockSpec((1, 1, N, T), seq_bc),                               # B
+        pl.BlockSpec((1, 1, N, T), seq_bc),                               # C
+        pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # Dskip
+        pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # bias
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, D_blk, T), seq),
+        pl.BlockSpec((1, 1, 1, 1, NR, 1), seq_chk),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bsz, G, D, Lp), out_dtype),
+        jax.ShapeDtypeStruct((Bsz, G, nD, nL, NR, 1), jnp.float32),
+    ]
+    operands = [u_p, delta_p, A_nm, B_p, C_p, D4, bias4]
+    if with_state:
+        in_specs.append(pl.BlockSpec((1, 1, 1, NR, 1), state))            # h0
+        out_specs.append(pl.BlockSpec((1, 1, 1, NR, 1), state))           # h_last
+        out_shape.append(jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32))
+        operands.append(_state_to_rows(h0.astype(jnp.float32), nD, D_blk, N))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, D_blk, T), seq),                              # u
-            pl.BlockSpec((1, 1, D_blk, T), seq),                              # delta
-            pl.BlockSpec((1, 1, NR, 1), lambda b, g, j, l: (g, j, 0, 0)),     # A
-            pl.BlockSpec((1, 1, N, T), seq_bc),                               # B
-            pl.BlockSpec((1, 1, N, T), seq_bc),                               # C
-            pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # Dskip
-            pl.BlockSpec((1, 1, D_blk, 1), lambda b, g, j, l: (g, j, 0, 0)),  # bias
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, D_blk, T), seq),
-            pl.BlockSpec((1, 1, 1, 1, NR, 1), seq_chk),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bsz, G, D, Lp), out_dtype),
-            jax.ShapeDtypeStruct((Bsz, G, nD, nL, NR, 1), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
         interpret=_interpret(),
-    )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4)
+    )(*operands)
+    if with_state:
+        y, hchk, h_last = outs
+        h_last = _state_from_rows(h_last, nD, D_blk, N)
+    else:
+        y, hchk = outs
+        h_last = jnp.zeros((Bsz, G, D, N), jnp.float32)
     if pre_ilv:
-        return y, hchk  # stays interleaved — the caller's layout
-    return _dilv(y, T)[..., :L], hchk
+        return y, h_last, hchk  # y stays interleaved — the caller's layout
+    return _dilv(y, T)[..., :L], h_last, hchk
 
 
-def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv):
-    y, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, softplus, has_D, out_dtype, chunk, reverse, pre_ilv)
-    return y, (u, delta, A, B, C, Dskip, delta_bias, hchk)
+def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state):
+    y, h_last, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state)
+    return (y, h_last), (u, delta, A, B, C, Dskip, delta_bias, hchk)
 
 
-def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, res, dy):
+def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, res, cts):
+    dy, dh_last = cts
     u, delta, A, B, C, Dskip, delta_bias, hchk = res
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
         u, delta, A, B, C, Dskip, delta_bias, chunk, pre_ilv
@@ -584,60 +700,75 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, res, dy):
         else _ilv(_pad_L(dy.astype(jnp.float32), Lp), T)
     )
 
-    grid = (Bsz, G, nD, nL)
+    # grid: channel blocks j INNERMOST (see _bwd_kernel) so dB/dC accumulate
+    # in VMEM across j and flush once per chunk
+    grid = (Bsz, G, nL, nD)
     # the adjoint walks chunks OPPOSITE to the forward scan's direction
     if reverse:
-        rev = lambda b, g, j, l: (b, g, j, l)
-        rev_chk = lambda b, g, j, l: (b, g, j, l, 0, 0)
-        rev_bc = lambda b, g, j, l: (b, g, 0, l)
-        rev_bc_j = lambda b, g, j, l: (b * nD + j, g, 0, l)
+        rev = lambda b, g, l, j: (b, g, j, l)
+        rev_chk = lambda b, g, l, j: (b, g, j, l, 0, 0)
+        rev_bc = lambda b, g, l, j: (b, g, 0, l)
     else:
-        rev = lambda b, g, j, l: (b, g, j, nL - 1 - l)
-        rev_chk = lambda b, g, j, l: (b, g, j, nL - 1 - l, 0, 0)
-        rev_bc = lambda b, g, j, l: (b, g, 0, nL - 1 - l)
-        # dB/dC get a separate output row PER (batch, d-block): fold j into
-        # the leading dim so different j grid steps never share a block
-        rev_bc_j = lambda b, g, j, l: (b * nD + j, g, 0, nL - 1 - l)
-    stat = lambda b, g, j, l: (g, j, 0, 0)
+        rev = lambda b, g, l, j: (b, g, j, nL - 1 - l)
+        rev_chk = lambda b, g, l, j: (b, g, j, nL - 1 - l, 0, 0)
+        rev_bc = lambda b, g, l, j: (b, g, 0, nL - 1 - l)
+    stat = lambda b, g, l, j: (g, j, 0, 0)
+    # per-(b, g) blocks holding ALL nD channel blocks: pinned for the whole
+    # (l, j) sweep -> VMEM-resident, one HBM flush per (b, g)
+    pinned = lambda b, g, l, j: (b, g, 0, 0, 0)
     kernel = functools.partial(
         _bwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D,
-        reverse=reverse,
+        reverse=reverse, L=L, nL=nL, with_state=with_state,
     )
-    du, ddelta, dA_p, dB_p, dC_p, dD_p, dbias_p = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, 1, D_blk, T), rev),                         # u
+        pl.BlockSpec((1, 1, D_blk, T), rev),                         # delta
+        pl.BlockSpec((1, 1, NR, 1), stat),                           # A
+        pl.BlockSpec((1, 1, N, T), rev_bc),                          # B
+        pl.BlockSpec((1, 1, N, T), rev_bc),                          # C
+        pl.BlockSpec((1, 1, D_blk, 1), stat),                        # Dskip
+        pl.BlockSpec((1, 1, D_blk, 1), stat),                        # bias
+        pl.BlockSpec((1, 1, 1, 1, NR, 1), rev_chk),                  # hchk
+        pl.BlockSpec((1, 1, D_blk, T), rev),                         # dy
+    ]
+    operands = [u_p, delta_p, A_nm, B_p, C_p, D4, bias4, hchk, dy_p]
+    out_specs = [
+        pl.BlockSpec((1, 1, D_blk, T), rev),                         # du
+        pl.BlockSpec((1, 1, D_blk, T), rev),                         # ddelta
+        pl.BlockSpec((1, 1, nD, NR, 1), pinned),                     # dA
+        pl.BlockSpec((1, 1, N, T), rev_bc),                          # dB (j-accumulated)
+        pl.BlockSpec((1, 1, N, T), rev_bc),                          # dC (j-accumulated)
+        pl.BlockSpec((1, 1, nD, D_blk, 1), pinned),                  # dD
+        pl.BlockSpec((1, 1, nD, D_blk, 1), pinned),                  # dbias
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
+        jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
+        jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bsz, G, N, Lp), jnp.float32),
+        jax.ShapeDtypeStruct((Bsz, G, N, Lp), jnp.float32),
+        jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
+    ]
+    if with_state:
+        in_specs.append(pl.BlockSpec((1, 1, nD, NR, 1), pinned))     # dh_last
+        operands.append(_state_to_rows(dh_last.astype(jnp.float32), nD, D_blk, N))
+        out_specs.append(pl.BlockSpec((1, 1, nD, NR, 1), pinned))    # dh0
+        out_shape.append(jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, D_blk, T), rev),                         # u
-            pl.BlockSpec((1, 1, D_blk, T), rev),                         # delta
-            pl.BlockSpec((1, 1, NR, 1), stat),                           # A
-            pl.BlockSpec((1, 1, N, T), rev_bc),                          # B
-            pl.BlockSpec((1, 1, N, T), rev_bc),                          # C
-            pl.BlockSpec((1, 1, D_blk, 1), stat),                        # Dskip
-            pl.BlockSpec((1, 1, D_blk, 1), stat),                        # bias
-            pl.BlockSpec((1, 1, 1, 1, NR, 1), rev_chk),                  # hchk
-            pl.BlockSpec((1, 1, D_blk, T), rev),                         # dy
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, D_blk, T), rev),                         # du
-            pl.BlockSpec((1, 1, D_blk, T), rev),                         # ddelta
-            pl.BlockSpec((1, 1, 1, NR, 1), lambda b, g, j, l: (b, g, j, 0, 0)),  # dA
-            pl.BlockSpec((1, 1, N, T), rev_bc_j),                        # dB partial (per j, summed below)
-            pl.BlockSpec((1, 1, N, T), rev_bc_j),                        # dC partial
-            pl.BlockSpec((1, 1, 1, D_blk, 1), lambda b, g, j, l: (b, g, j, 0, 0)),  # dD
-            pl.BlockSpec((1, 1, 1, D_blk, 1), lambda b, g, j, l: (b, g, j, 0, 0)),  # dbias
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz * nD, G, N, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz * nD, G, N, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nD, NR, 1), jnp.float32)],
         interpret=_interpret(),
-    )(u_p, delta_p, A_nm, B_p, C_p, D4, bias4, hchk, dy_p)
+    )(*operands)
+    if with_state:
+        du, ddelta, dA_p, dB_s, dC_s, dD_p, dbias_p, dh0_p = outs
+    else:
+        du, ddelta, dA_p, dB_s, dC_s, dD_p, dbias_p = outs
+        dh0_p = None
 
     if pre_ilv:
         du = du.astype(u.dtype)
@@ -648,9 +779,7 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, res, dy):
     # dA: (B, G, nD, NR, 1) n-major rows -> (G, D, N), summed over batch
     dA = jnp.sum(dA_p.reshape(Bsz, G, nD, N, D_blk), axis=0)
     dA = jnp.swapaxes(dA, 2, 3).reshape(G, D, N).astype(A.dtype)
-    # dB/dC: written per (batch, j) row — sum the j copies
-    dB_s = jnp.sum(dB_p.reshape(Bsz, nD, G, N, Lp), axis=1)
-    dC_s = jnp.sum(dC_p.reshape(Bsz, nD, G, N, Lp), axis=1)
+    # dB/dC come back fully accumulated over channel blocks (in-kernel)
     if pre_ilv:
         dB, dC = dB_s.astype(B.dtype), dC_s.astype(C.dtype)
     else:
@@ -658,7 +787,12 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, res, dy):
         dC = _dilv(dC_s, T)[..., :L].astype(C.dtype)
     dD = jnp.sum(dD_p, axis=(0, 4)).reshape(-1).astype(Dskip.dtype)
     dbias = jnp.sum(dbias_p, axis=(0, 4)).reshape(-1).astype(delta_bias.dtype)
-    return du, ddelta, dA, dB, dC, dD, dbias
+    dh0 = (
+        _state_from_rows(dh0_p, nD, D_blk, N)
+        if with_state
+        else jnp.zeros((Bsz, G, D, N), jnp.float32)
+    )
+    return du, ddelta, dA, dB, dC, dD, dbias, dh0
 
 
 _scan_core.defvjp(_scan_vjp_fwd, _scan_vjp_bwd)
@@ -677,12 +811,26 @@ def selective_scan_pallas(
     chunk=DEF_CHUNK,
     reverse=False,
     pre_interleaved=False,
+    h0=None,
+    return_state=False,
 ):
     """Pallas selective scan with the oracle's canonical signature.
 
     u, delta: (batch, dim, L); A: (dim, N); B, C: (batch, G, N, L) with
     dim % G == 0; D, delta_bias: (dim,) or None.  Returns (batch, dim, L) in
     ``out_dtype`` (fp32 by default — the "oflex" contract).
+
+    ``h0``/``return_state`` form the SEGMENT API for scanning a long sequence
+    in pieces (the multi-chip sequence-parallel building block,
+    :mod:`focalnet_tpu.parallel.seq_scan`): ``h0`` (batch, dim, N) fp32 seeds
+    the recurrence instead of zeros, and ``return_state=True`` additionally
+    returns the leaving state h_last (batch, dim, N) fp32 — the state after
+    the last element scanned (element L-1 forward, element 0 in ``reverse``
+    mode).  Both are differentiable: the VJP seeds the adjoint carry with
+    the h_last cotangent and emits the h0 cotangent from the adjoint's own
+    leaving state, so segment chains backprop exactly.  The CUDA reference
+    keeps an equivalent running state across its in-kernel 2048-chunks but
+    never exposes it (``cusoflex/selective_scan_fwd_kernel_oflex.cuh:109-180``).
 
     ``reverse=True`` scans RIGHT-to-left (h_i = a_i h_{i+1} + b_i):
     equivalent to flipping u/delta/B/C along L, scanning forward, and
@@ -722,19 +870,31 @@ def selective_scan_pallas(
     N = A.shape[-1]
 
     has_D = D is not None
+    # static: only emit the segment-API plumbing (h0 seed block, h_last
+    # output, dh_last/dh0 in the VJP) when the caller actually uses it —
+    # the plain path stays the state-free kernel with zero overhead
+    with_state = return_state or h0 is not None
     Dv = D if has_D else jnp.zeros((dim,), jnp.float32)
     biasv = delta_bias if delta_bias is not None else jnp.zeros((dim,), jnp.float32)
+    h0v = (
+        h0.reshape(batch, G, D_per, N).astype(jnp.float32)
+        if h0 is not None
+        else jnp.zeros((batch, G, D_per, N), jnp.float32)
+    )
 
     u4 = u.reshape(batch, G, D_per, L)
     delta4 = delta.reshape(batch, G, D_per, L)
     A4 = A.reshape(G, D_per, N)
-    y = _scan_core(
+    y, h_last = _scan_core(
         u4, delta4, A4, B, C,
-        Dv.astype(jnp.float32), biasv.astype(jnp.float32),
+        Dv.astype(jnp.float32), biasv.astype(jnp.float32), h0v,
         delta_softplus, has_D, jnp.dtype(out_dtype), chunk, reverse,
-        pre_interleaved,
+        pre_interleaved, with_state,
     )
-    return y.reshape(batch, dim, L)
+    y = y.reshape(batch, dim, L)
+    if return_state:
+        return y, h_last.reshape(batch, dim, N)
+    return y
 
 
 # public names for the pre_interleaved layout helpers
@@ -751,7 +911,7 @@ def _raster_factors(H, W, T):
     return R, sq, tq
 
 
-def raster_to_kernel(x, T, col):
+def raster_to_kernel(x, T, col, ilv=None):
     """NHWC image -> the scan kernel's interleaved chunk layout, fused.
 
     ``x``: (B, H, W, D).  Returns (B, D, L) laid out so that
@@ -767,35 +927,44 @@ def raster_to_kernel(x, T, col):
     so each composed-away pass is a real win; no reference analogue — the
     CUDA build materializes all four rasters with CrossScanTriton,
     ``csm_triton.py:20-24``.)
+
+    ``ilv`` overrides the interleave decision (default: interleave when
+    ``L % T == 0``).  Sequence-parallel callers pass ``ilv`` explicitly so
+    the layout matches the PER-DEVICE chunking even when the global L would
+    admit a different one.
     """
     B, H, W, D = x.shape
     L = H * W
+    if ilv is None:
+        ilv = L % T == 0
     R, s, t = _raster_factors(H, W, T)
-    if not col and s and H % s == 0 and W % R == 0:
+    if ilv and not col and s and H % s == 0 and W % R == 0:
         # l = h*W + w; h = c*s + h', w = w1*R + r; lane = r*128 + h'*(W/R) + w1
         x6 = x.reshape(B, H // s, s, W // R, R, D)
         return jnp.transpose(x6, (0, 5, 1, 4, 2, 3)).reshape(B, D, L)
-    if col and t and W % t == 0 and H % R == 0:
+    if ilv and col and t and W % t == 0 and H % R == 0:
         # l = w*H + h; w = c*t + w', h = h1*R + h0; lane = h0*128 + w'*(H/R) + h1
         x6 = x.reshape(B, H // R, R, W // t, t, D)
         return jnp.transpose(x6, (0, 5, 3, 2, 4, 1)).reshape(B, D, L)
     xt = jnp.swapaxes(x.reshape(B, L, D), 1, 2)
     if col:
         xt = jnp.swapaxes(xt.reshape(B, D, H, W), 2, 3).reshape(B, D, L)
-    return _ilv(xt, T) if L % T == 0 else xt
+    return _ilv(xt, T) if ilv and L % T == 0 else xt
 
 
-def kernel_to_raster(y, H, W, T, col):
+def kernel_to_raster(y, H, W, T, col, ilv=None):
     """Inverse of :func:`raster_to_kernel`: (B, D, L) kernel layout -> NHWC."""
     B, D, L = y.shape
+    if ilv is None:
+        ilv = L % T == 0
     R, s, t = _raster_factors(H, W, T)
-    if not col and s and H % s == 0 and W % R == 0:
+    if ilv and not col and s and H % s == 0 and W % R == 0:
         y6 = y.reshape(B, D, H // s, R, s, W // R)
         return jnp.transpose(y6, (0, 2, 4, 5, 3, 1)).reshape(B, H, W, D)
-    if col and t and W % t == 0 and H % R == 0:
+    if ilv and col and t and W % t == 0 and H % R == 0:
         y6 = y.reshape(B, D, W // t, R, t, H // R)
         return jnp.transpose(y6, (0, 5, 3, 2, 4, 1)).reshape(B, H, W, D)
-    y = _dilv(y, T) if L % T == 0 else y
+    y = _dilv(y, T) if ilv and L % T == 0 else y
     if col:
         return jnp.transpose(y.reshape(B, D, W, H), (0, 3, 2, 1))
     return jnp.swapaxes(y, 1, 2).reshape(B, H, W, D)

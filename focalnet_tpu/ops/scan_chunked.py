@@ -60,8 +60,11 @@ def selective_scan_chunked(
     return_last_state=False,
     out_dtype=jnp.float32,
     chunk=64,
+    h0=None,
 ):
-    """Chunked selective scan: lax.scan over chunks, associative scan within."""
+    """Chunked selective scan: lax.scan over chunks, associative scan within.
+
+    ``h0`` (batch, dim, N) seeds the recurrence (segment API)."""
     in_dtype = u.dtype
     u, delta, A, B, C, D = _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus)
     batch, dim, L = u.shape
@@ -98,7 +101,10 @@ def selective_scan_chunked(
         y = jnp.sum(h * C_i, axis=-2)  # (batch, dim, chunk)
         return h[..., -1], y
 
-    h0 = jnp.zeros((batch, dim, N), jnp.float32)
+    h0 = (
+        jnp.zeros((batch, dim, N), jnp.float32)
+        if h0 is None else h0.astype(jnp.float32)
+    )
     h_last, ys = jax.lax.scan(step, h0, (dA_c, dBu_c, C_c))
     y = jnp.moveaxis(ys, 0, -2).reshape(batch, dim, Lp)[..., :L]
     if D is not None:

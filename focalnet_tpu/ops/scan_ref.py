@@ -77,8 +77,12 @@ def selective_scan_ref(
     delta_softplus=False,
     return_last_state=False,
     out_dtype=jnp.float32,
+    h0=None,
 ):
-    """Sequential lax.scan oracle. O(L) steps; use only for tests/small shapes."""
+    """Sequential lax.scan oracle. O(L) steps; use only for tests/small shapes.
+
+    ``h0`` (batch, dim, N) seeds the recurrence (segment API, see
+    :func:`focalnet_tpu.ops.pallas_scan.selective_scan_pallas`)."""
     in_dtype = u.dtype
     u, delta, A, B, C, D = _prepare(u, delta, A, B, C, D, delta_bias, delta_softplus)
     batch, dim, L = u.shape
@@ -96,7 +100,10 @@ def selective_scan_ref(
         y = jnp.sum(h * C_i, axis=-1)  # (batch, dim)
         return h, y
 
-    h0 = jnp.zeros((batch, dim, N), jnp.float32)
+    h0 = (
+        jnp.zeros((batch, dim, N), jnp.float32)
+        if h0 is None else h0.astype(jnp.float32)
+    )
     xs = (
         jnp.moveaxis(dA, -1, 0),  # (L, batch, dim, N)
         jnp.moveaxis(dBu, -1, 0),
@@ -123,6 +130,7 @@ def selective_scan_assoc(
     delta_softplus=False,
     return_last_state=False,
     out_dtype=jnp.float32,
+    h0=None,
 ):
     """Vectorized oracle via lax.associative_scan over the (a, b) monoid.
 
@@ -143,7 +151,10 @@ def selective_scan_assoc(
         a_r, b_r = right
         return a_l * a_r, a_r * b_l + b_r
 
-    _, h = jax.lax.associative_scan(combine, (a, b), axis=-1)
+    a_scan, h = jax.lax.associative_scan(combine, (a, b), axis=-1)
+    if h0 is not None:
+        # prefix application: h_i += (prod of a up to i) * h0
+        h = h + a_scan * h0.astype(jnp.float32)[..., None]
     y = jnp.sum(h * Cx, axis=-2)  # (batch, dim, L)
     if D is not None:
         y = y + u * D[None, :, None]

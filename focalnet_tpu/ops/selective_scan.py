@@ -55,6 +55,8 @@ def selective_scan(
     chunk=None,
     reverse=False,
     pre_interleaved=False,
+    h0=None,
+    return_state=False,
 ):
     """Selective scan with automatic backend choice.
 
@@ -67,6 +69,10 @@ def selective_scan(
     in the pallas kernel's interleaved chunk layout (see
     :func:`focalnet_tpu.ops.pallas_scan.interleave`); oracle backends shim
     it with deinterleave/re-interleave so callers stay backend-agnostic.
+    ``h0`` (batch, dim, N) seeds the recurrence; ``return_state=True`` also
+    returns the leaving state h_last (batch, dim, N) — the segment API used
+    by the sequence-sharded multi-chip scan.  States are layout/direction
+    invariant: h0/h_last are plain (batch, dim, N) on every backend.
     """
     if backend == "auto":
         backend = _default_backend()
@@ -79,23 +85,31 @@ def selective_scan(
             kwargs["chunk"] = chunk
         return selective_scan_pallas(
             u, delta, A, B, C, reverse=reverse,
-            pre_interleaved=pre_interleaved, **kwargs,
+            pre_interleaved=pre_interleaved, h0=h0,
+            return_state=return_state, **kwargs,
         )
     if pre_interleaved:
         T = scan_chunk_for(u.shape[-1], chunk or DEF_CHUNK)
         d = lambda x: deinterleave(x, T)
-        y = selective_scan(
+        out = selective_scan(
             d(u), d(delta), A, d(B), d(C),
-            backend=backend, chunk=chunk, reverse=reverse, **kwargs,
+            backend=backend, chunk=chunk, reverse=reverse,
+            h0=h0, return_state=return_state, **kwargs,
         )
-        return interleave(y, T)
+        if return_state:
+            return interleave(out[0], T), out[1]
+        return interleave(out, T)
     if reverse:
         flip = lambda x: jax.numpy.flip(x, axis=-1)
-        y = selective_scan(
+        out = selective_scan(
             flip(u), flip(delta), A, flip(B), flip(C),
-            backend=backend, **kwargs,
+            backend=backend, h0=h0, return_state=return_state, **kwargs,
         )
-        return flip(y)
+        if return_state:
+            return flip(out[0]), out[1]
+        return flip(out)
+    kwargs["h0"] = h0
+    kwargs["return_last_state"] = return_state
     if backend == "chunked":
         return selective_scan_chunked(u, delta, A, B, C, **kwargs)
     if backend == "assoc":

@@ -56,6 +56,11 @@ def make_global_batch(batch, mesh: Mesh, axis: str = "data"):
     multi-host pod each process passes only ITS shard of the global batch and
     jax stitches the global array (the TPU-native replacement for the
     reference's per-worker torch DataLoader, SURVEY.md §2.3 row "DP").
+
+    CAVEAT: the multi-process branch is UNTESTED — this environment has a
+    single host (one process), so only the ``process_count() == 1`` path is
+    exercised by tests; the other branch is a straight call into
+    ``jax.make_array_from_process_local_data`` kept for API completeness.
     """
     import jax
 

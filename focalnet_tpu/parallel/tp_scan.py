@@ -14,6 +14,7 @@ all-gathers around it), hence the explicit shard_map here.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from focalnet_tpu.ops.selective_scan import selective_scan
@@ -38,29 +39,40 @@ def selective_scan_tp(
     )
 
     def local(u, delta, A, B, C, D, bias):
+        # h0 derived from a varying input so the chunked fallback's lax.scan
+        # carry is varying over the manual axes — keeps check_vma ON
+        N = A.shape[-1]
+        h0 = jnp.broadcast_to(
+            0.0 * u[:, :, :1].astype(jnp.float32),
+            (u.shape[0], u.shape[1], N),
+        )
         return selective_scan(
             u, delta, A, B, C, D=D, delta_bias=bias,
             delta_softplus=delta_softplus, out_dtype=out_dtype,
-            backend=backend,
+            backend=backend, h0=h0,
         )
 
     if B.ndim == 3:
         B = B[:, None]
     if C.ndim == 3:
         C = C[:, None]
-    import jax.numpy as jnp
 
     dim = u.shape[1]
     has_D = D is not None
     Dv = D if has_D else jnp.zeros((dim,), jnp.float32)
     biasv = delta_bias if delta_bias is not None else jnp.zeros((dim,), jnp.float32)
 
+    # check_vma OFF only for the Pallas path (pallas_call outputs carry no
+    # varying-manual-axes info — see the same note in seq_scan.py); the
+    # chunked/oracle paths keep the check ON (their lax.scan carry is made
+    # varying via the explicit h0 above).
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
     return jax.shard_map(
         local,
         mesh=mesh,
-        # the chunked fallback creates its carry inside the body (unvarying),
-        # tripping the varying-manual-axes check; the op is per-channel local
-        check_vma=False,
+        check_vma=not use_pallas,
         in_specs=(
             P(None, axis, None),        # u: channels sharded
             P(None, axis, None),        # delta

@@ -92,10 +92,22 @@ def init_params(model, rng, crop: int, batch: int = 1):
     return jax.jit(model.init)({"params": rng}, x)
 
 
+def auto_mesh_shape(batch_size: int):
+    """Largest device count dividing the global batch, all on ``data`` —
+    the default-DP shape for ``TrainConfig.mesh_shape=None``."""
+    n = jax.device_count()
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return (n,)
+
+
 def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
           resume: Optional[str] = None, log_file: Optional[str] = None):
     """Full training driver — the ``_train`` equivalent."""
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    shape = cfg.mesh_shape or auto_mesh_shape(cfg.batch_size)
+    mesh = make_mesh(tuple(shape), tuple(cfg.mesh_axes))
+    if mesh.size > 1:
+        print("Mesh: %s over %d devices" % (dict(zip(cfg.mesh_axes, shape)), mesh.size))
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
 

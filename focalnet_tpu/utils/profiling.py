@@ -49,3 +49,83 @@ def timed(fn, *args, iters: int = 10, warmup: int = 3):
     for _ in range(iters):
         scalarize(fn(*args))
     return (time.time() - t0) / iters
+
+
+def parse_trace(log_dir: str, min_us: float = 0.0):
+    """Aggregate DEVICE-side op time from a jax.profiler trace directory.
+
+    Returns ``{"total_ms": float, "ops": [(name, ms, count), ...]}`` sorted by
+    time, summing complete events on the TPU device track (the host/python
+    tracks are excluded — through the axon tunnel they mostly measure RTT).
+    The trustworthy per-op view CLAUDE.md prescribes for any perf claim.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(files[-1]) as f:
+        tr = json.load(f)
+    events = tr["traceEvents"]
+    # LEAF op events only: the device process exposes both an "XLA Modules"
+    # track (whole-executable spans) and an "XLA Ops" track (per-op) — summing
+    # both double-counts
+    dev_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and any(k in str(e.get("args", {}).get("name", "")) for k in ("TPU", "/device"))
+    }
+    op_tids = {
+        (e["pid"], e["tid"])
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["pid"] in dev_pids
+        and "XLA Ops" in str(e.get("args", {}).get("name", ""))
+    }
+    agg = collections.defaultdict(lambda: [0.0, 0])
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        dur = float(e.get("dur", 0.0))
+        if dur < min_us:
+            continue
+        name = e.get("name", "?")
+        agg[name][0] += dur
+        agg[name][1] += 1
+        total += dur
+    ops = sorted(
+        ((k, v[0] / 1000.0, v[1]) for k, v in agg.items()),
+        key=lambda x: -x[1],
+    )
+    return {"total_ms": total / 1000.0, "ops": ops}
+
+
+def op_mix(log_dir: str, buckets=None, min_us: float = 0.0):
+    """Bucket :func:`parse_trace` output by substring -> ms, for quick
+    scan/fusion/layout/conv style breakdowns."""
+    r = parse_trace(log_dir, min_us=min_us)
+    buckets = buckets or {
+        "scan_kernel": ("custom-call", "pallas", "scan"),
+        "fusion": ("fusion",),
+        "layout": ("transpose", "copy", "bitcast", "reshape"),
+        "conv": ("conv",),
+    }
+    out = {k: 0.0 for k in buckets}
+    out["other"] = 0.0
+    for name, ms, _ in r["ops"]:
+        low = name.lower()
+        for k, pats in buckets.items():
+            if any(p in low for p in pats):
+                out[k] += ms
+                break
+        else:
+            out["other"] += ms
+    out["total"] = r["total_ms"]
+    return out

@@ -47,7 +47,22 @@ def _host_cpu_tag():
     return hashlib.md5(src.encode()).hexdigest()[:8]
 
 
-if os.environ.get("FOCALNET_TEST_CACHE") == "1":
+if _REAL_TPU:
+    # On the real chip the cache is unconditional: the segfault rationale
+    # above is specific to XLA:CPU AOT entries, and Pallas shapes take
+    # 5-10 s each to compile through the tunnel.  Same dir as the library's
+    # enable_compilation_cache().
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "FOCALNET_COMPILE_CACHE", os.path.expanduser("~/.jax_cache")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+elif os.environ.get("FOCALNET_TEST_CACHE") == "1":
     try:
         jax.config.update(
             "jax_compilation_cache_dir",

@@ -202,3 +202,179 @@ def test_make_global_batch_single_process():
     b = shard_batch(x, mesh)
     assert a.sharding == b.sharding
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seq_sharded_scan_pallas_backend():
+    """The seq-sharded scan running the PALLAS kernel per shard (interpret
+    mode on CPU) — proves the kernel-backed segment path composes with the
+    prefix exchange, forward and reverse, values AND grads."""
+    mesh = make_mesh(axes=("seq",))
+    batch, dim, N, L = 1, 4, 4, 2048  # L_local = 256: two 128-lane chunks
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    u = jax.random.normal(ks[0], (batch, dim, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (batch, dim, L))
+    A = -1.0 - jax.random.uniform(ks[2], (dim, N))
+    B = jax.random.normal(ks[3], (batch, 1, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (batch, 1, N, L)) * 0.5
+
+    for reverse in (False, True):
+        def f(u, d, be):
+            y = selective_scan_seq_sharded(
+                u, d, A, B, C, mesh=mesh, backend=be, reverse=reverse
+            )
+            return jnp.sum(jnp.sin(y))
+
+        vp, gp = jax.value_and_grad(
+            lambda u, d: f(u, d, "pallas"), argnums=(0, 1)
+        )(u, delta)
+        vr, gr = jax.value_and_grad(
+            lambda u, d: f(u, d, "ref"), argnums=(0, 1)
+        )(u, delta)
+        np.testing.assert_allclose(float(vp), float(vr), rtol=1e-5)
+        for name, a, b in zip(("du", "ddelta"), gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"reverse={reverse} {name}",
+            )
+
+
+def test_seq_sharded_scan_pre_interleaved():
+    """pre_interleaved operands (the model's fused-layout contract) through
+    the seq-sharded path: interleave with the LOCAL chunk size, shard, scan."""
+    from focalnet_tpu.ops.pallas_scan import interleave, deinterleave
+    from focalnet_tpu.ops.selective_scan import scan_chunk_for
+
+    mesh = make_mesh(axes=("seq",))
+    batch, dim, N, L = 1, 4, 2, 2048
+    Lloc = L // 8
+    T = scan_chunk_for(Lloc, 2048)
+    assert Lloc % T == 0
+    ks = jax.random.split(jax.random.PRNGKey(13), 5)
+    u = jax.random.normal(ks[0], (batch, dim, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (batch, dim, L))
+    A = -1.0 - jax.random.uniform(ks[2], (dim, N))
+    B = jax.random.normal(ks[3], (batch, 1, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (batch, 1, N, L)) * 0.5
+
+    i = lambda x: interleave(x, T)
+    for reverse in (False, True):
+        y_i = selective_scan_seq_sharded(
+            i(u), i(delta), A, i(B), i(C), mesh=mesh,
+            pre_interleaved=True, reverse=reverse,
+        )
+        ref = selective_scan_ref(
+            *( (jnp.flip(u, -1), jnp.flip(delta, -1), A,
+                jnp.flip(B, -1), jnp.flip(C, -1)) if reverse
+               else (u, delta, A, B, C) )
+        )
+        if reverse:
+            ref = jnp.flip(ref, -1)
+        np.testing.assert_allclose(
+            np.asarray(deinterleave(y_i, T)), np.asarray(ref),
+            rtol=1e-4, atol=1e-5, err_msg=f"reverse={reverse}",
+        )
+
+
+def test_ss2d_seq_parity_model_level():
+    """SS2D with seq_axis sharding == plain SS2D, same params: the
+    model-integrated sequence-parallel gate (VERDICT r2 item 1)."""
+    from focalnet_tpu.models.ss2d import SS2D
+
+    mesh = make_mesh(axes=("seq",))
+    H = W = 32  # L = 1024, L_local = 128
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, H, W, 16)) * 0.5
+
+    plain = SS2D(d_model=16, d_state=4, scan_backend="chunked")
+    seq = SS2D(d_model=16, d_state=4, scan_backend="chunked",
+               seq_mesh=mesh, seq_axis="seq")
+    params = plain.init({"params": jax.random.PRNGKey(0)}, x)
+
+    y1 = plain.apply(params, x)
+    y8 = jax.jit(lambda p, x: seq.apply(p, x))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y8), np.asarray(y1), rtol=1e-4, atol=1e-5
+    )
+
+    # gradients w.r.t. params must match too (the training path)
+    def loss(mod):
+        return lambda p: jnp.sum(jnp.abs(mod.apply(p, x)))
+
+    g1 = jax.grad(loss(plain))(params)
+    g8 = jax.jit(jax.grad(loss(seq)))(params)
+    scale = max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(g1))
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g8),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5 * scale,
+            err_msg=str(ka),
+        )
+
+
+def test_full_model_dp_sp_train_step():
+    """FULL MIMOUNet training step on a dp x sp (2 x 4) mesh: batch on
+    ``data``, every SS2D scan length on ``seq``.  One step must run, produce
+    finite loss, and match the single-device step's loss."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from focalnet_tpu.configs import TrainConfig
+    from focalnet_tpu.models import build_net
+    from focalnet_tpu.parallel import replicate
+    from focalnet_tpu.train import make_train_step
+    from focalnet_tpu.train.trainer import make_optimizer
+
+    mesh = make_mesh((2, 4), ("data", "seq"))
+    kw = dict(vssg_dim=16, ssm_d_state=4, scan_backend="chunked",
+              drop_path_rate=0.0)
+    model1 = build_net("1mlp_g2", **kw)
+    model8 = build_net("1mlp_g2", seq_mesh=mesh, seq_axis="seq",
+                       data_axis="data", **kw)
+    cfg = TrainConfig(grad_clip=1.0, learning_rate=1e-3)
+    tx = make_optimizer(cfg)
+    rng = jax.random.PRNGKey(0)
+    hazy = jax.random.uniform(rng, (2, 32, 32, 3))
+    gt = jnp.clip(hazy * 1.1 - 0.02, 0, 1)
+    # each step gets its OWN init copy: train_step donates its params/
+    # opt_state buffers, and device_put may alias the source shard, so a
+    # replicated view must not share buffers with a donated copy.  init is
+    # deterministic — both copies are bit-identical.
+    params = model1.init({"params": rng}, hazy[:1])
+    opt_state = tx.init(params)
+    step1 = make_train_step(model1, tx, 0.1)
+    p1, o1, m1 = step1(params, opt_state, hazy, gt, rng)
+
+    params2 = model1.init({"params": rng}, hazy[:1])
+    params_r = replicate(params2, mesh)
+    opt_r = replicate(tx.init(params2), mesh)
+    sh = NamedSharding(mesh, P("data", "seq"))
+    hazy_s = jax.device_put(hazy, sh)
+    gt_s = jax.device_put(gt, sh)
+    step8 = make_train_step(model8, tx, 0.1)
+    p8, o8, m8 = step8(params_r, opt_r, hazy_s, gt_s, rng)
+    assert np.isfinite(float(m8["loss"]))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-4)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(p8))
+
+    # gradients agree against the GLOBAL gradient scale (post-Adam params
+    # would be sign-sensitive for near-zero grads — see the DP test note)
+    from focalnet_tpu.train.losses import multiscale_loss
+
+    def grads(model, p, hazy, gt):
+        def loss_fn(p):
+            return multiscale_loss(model.apply(p, hazy), gt, 0.1)[0]
+        return jax.jit(jax.grad(loss_fn))(p)
+
+    # re-init: step1/step8 donated the original params buffers
+    params = model1.init({"params": rng}, hazy[:1])
+    g1 = grads(model1, params, hazy, gt)
+    g8 = grads(model8, replicate(params, mesh), hazy_s, gt_s)
+    scale = max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(g1))
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g8),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4 * scale,
+            err_msg=str(ka),
+        )

@@ -331,3 +331,68 @@ def test_raster_to_kernel_roundtrip(H, W, T, col):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     back = kernel_to_raster(got, H, W, T, col)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("backend", ["pallas", "chunked", "assoc", "ref"])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_segment_api_chaining(backend, reverse):
+    """h0/return_state (the segment API): scanning two halves chained by the
+    carried state must equal the one-shot scan, on every backend and in both
+    directions.  This is the building block of the sequence-sharded scan."""
+    from focalnet_tpu.ops.selective_scan import selective_scan as scan
+
+    u, delta, A, B, C, D, bias = make_inputs(
+        jax.random.PRNGKey(21), 2, 8, 4, 256, 1, jnp.float32, True, True
+    )
+    full, h_full = scan(u, delta, A, B, C, D=D, delta_bias=bias,
+                        delta_softplus=True, backend=backend,
+                        reverse=reverse, return_state=True)
+    halves = [slice(0, 128), slice(128, 256)]
+    if reverse:
+        halves = halves[::-1]
+    h = None
+    ys = {}
+    for sl in halves:
+        ys[sl.start], h = scan(
+            u[..., sl], delta[..., sl], A, B[..., sl], C[..., sl],
+            D=D, delta_bias=bias, delta_softplus=True, backend=backend,
+            reverse=reverse, h0=h, return_state=True,
+        )
+    y2 = jnp.concatenate([ys[0], ys[128]], axis=-1)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_full),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("L", [128, 192])  # 192: padded tail in the kernel
+@pytest.mark.parametrize("reverse", [False, True])
+def test_segment_api_gradients(L, reverse):
+    """Gradients THROUGH h0 and h_last (pallas vs sequential oracle), with
+    and without kernel-internal padding.  The VJP seeds the adjoint carry
+    with the h_last cotangent and emits dh0 from the adjoint's leaving state."""
+    from focalnet_tpu.ops.selective_scan import selective_scan as scan
+
+    u, delta, A, B, C, D, bias = make_inputs(
+        jax.random.PRNGKey(23), 2, 8, 4, L, 1, jnp.float32, True, True
+    )
+    h0 = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 4)) * 0.3
+
+    def loss(be):
+        def f(u, delta, A, B, C, D, bias, h0):
+            y, hl = scan(u, delta, A, B, C, D=D, delta_bias=bias,
+                         delta_softplus=True, backend=be, reverse=reverse,
+                         h0=h0, return_state=True)
+            return jnp.sum(y * jnp.cos(y * 0.1)) + jnp.sum(hl * jnp.sin(hl))
+        return jax.grad(f, argnums=tuple(range(8)))(
+            u, delta, A, B, C, D, bias, h0
+        )
+
+    gp = loss("pallas")
+    gr = loss("ref")
+    names = ("du", "ddelta", "dA", "dB", "dC", "dD", "dbias", "dh0")
+    for name, a, b in zip(names, gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5,
+            err_msg=f"L={L} reverse={reverse} {name}",
+        )
