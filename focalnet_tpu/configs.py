@@ -46,7 +46,12 @@ class ModelConfig:
     ssm_init: str = "v0"
     forward_type: str = "v4"
     # dtype for the SS2D projection-einsum INPUTS (fp32 accumulation either
-    # way; "" keeps the operand dtype — exact reference-parity numerics)
+    # way; "" keeps the operand dtype).  Measured a PERF AND NUMERICS NO-OP
+    # on TPU: jax's DEFAULT matmul precision already runs fp32 dots as
+    # single-pass bf16 on the MXU (verified bit-identical on v5e, r3), so
+    # explicit bf16 operands change nothing.  Kept for environments that
+    # raise jax_default_matmul_precision (e.g. "highest"), where it buys the
+    # MXU speedup back at the documented bf16 rounding cost.
     ssm_proj_dtype: str = ""
 
     # MLP branch

@@ -32,8 +32,17 @@ def _list_images(path: str) -> List[str]:
 
 
 def infer(model, params, input_path: str, result_dir: str,
-          factor: int = 32) -> dict:
-    """Dehaze every image under ``input_path`` into ``result_dir``."""
+          factor: int = 32, batch_size: int = 1) -> dict:
+    """Dehaze every image under ``input_path`` into ``result_dir``.
+
+    ``batch_size > 1`` batches same-padded-shape images into one device
+    forward (the validation bucket scheme, ``evaluator.py:43-83``) — but
+    since the full file list is known up front, images are GROUPED by padded
+    shape first rather than flushed on shape change, so a mixed-size
+    directory compiles exactly one executable per distinct (batch, padded
+    H, W).  Partial buckets are padded by repeating the last image (extra
+    outputs discarded).  Identical outputs to batch-1.
+    """
     from focalnet_tpu.data.reside import _load_image
 
     os.makedirs(result_dir, exist_ok=True)
@@ -45,15 +54,47 @@ def infer(model, params, input_path: str, result_dir: str,
     files = _list_images(input_path)
     if not files:
         raise FileNotFoundError(f"no images under {input_path!r}")
+
     time_adder = Adder()
-    for path in files:
-        img = _load_image(path)[None]
-        padded, (h, w) = pad_to_multiple(img, factor)
+
+    def run(batch):
+        """batch: list of (path, padded, h, w) with identical padded shapes."""
+        n = len(batch)
+        stack = [b[1] for b in batch] + [batch[-1][1]] * (batch_size - n)
         tm = time.time()
-        pred = np.asarray(fwd(padded))
-        time_adder(time.time() - tm)
-        pred = np.clip(pred[:, :h, :w], 0.0, 1.0)
-        save_image(pred[0], os.path.join(result_dir, os.path.basename(path)))
+        preds = np.asarray(fwd(np.concatenate(stack, axis=0)))[:n]
+        time_adder((time.time() - tm) / n)
+        for pred, (path, _, h, w) in zip(preds, batch):
+            pred = np.clip(pred[:h, :w], 0.0, 1.0)
+            save_image(pred, os.path.join(result_dir, os.path.basename(path)))
+
+    if batch_size <= 1:
+        for path in files:
+            padded, (h, w) = pad_to_multiple(_load_image(path)[None], factor)
+            run([(path, padded, h, w)])
+    else:
+        # group paths by padded shape from the image HEADER (no pixel
+        # decode), then decode lazily one bucket at a time
+        from PIL import Image
+
+        by_shape: dict = {}
+        for path in files:
+            with Image.open(path) as im:
+                w, h = im.size
+            # padded dims per pad_to_multiple: unchanged when /factor-aligned,
+            # else next multiple
+            key = (-(-h // factor) * factor if h % factor else h,
+                   -(-w // factor) * factor if w % factor else w)
+            by_shape.setdefault(key, []).append(path)
+        for group in by_shape.values():
+            for i in range(0, len(group), batch_size):
+                batch = []
+                for path in group[i : i + batch_size]:
+                    padded, (h, w) = pad_to_multiple(
+                        _load_image(path)[None], factor)
+                    batch.append((path, padded, h, w))
+                run(batch)
+
     print("Dehazed %d images -> %s (avg %.3fs/img)" % (
         len(files), result_dir, time_adder.average()))
     return {"count": len(files), "avg_time": time_adder.average()}

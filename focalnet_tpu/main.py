@@ -134,7 +134,8 @@ def main(args):
         from focalnet_tpu.train import load_params
 
         params = load_params(args.test_model)
-        infer(model, params, args.input, args.result_dir)
+        infer(model, params, args.input, args.result_dir,
+              batch_size=args.valid_batch)
 
 
 def parse_args(argv=None):
@@ -160,8 +161,9 @@ def parse_args(argv=None):
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--valid_freq", type=int, default=10)
     p.add_argument("--valid_batch", type=int, default=1,
-                   help=">1 batches same-size validation images per forward "
-                        "(same metrics; the reference protocol is batch-1)")
+                   help=">1 batches same-size images per forward during "
+                        "validation and --mode infer (same outputs; the "
+                        "reference protocol is batch-1)")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--mesh_shape", type=str, default="",

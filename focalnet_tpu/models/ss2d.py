@@ -343,7 +343,7 @@ class SS2D(nn.Module):
                 batch_axis=self.data_axis,
             )
         else:
-            scan = lambda delta, Bm, Cm, lo, reverse: selective_scan(
+            scan = lambda delta, Bm, Cm, lo, reverse, y_accum=None: selective_scan(
                 u2, delta, A[lo : lo + 2 * D], Bm, Cm,
                 D=Ds32[lo : lo + 2 * D],
                 delta_bias=bias[lo : lo + 2 * D],
@@ -353,14 +353,27 @@ class SS2D(nn.Module):
                 chunk=self.scan_chunk,
                 reverse=reverse,
                 pre_interleaved=pre,
+                y_accum=y_accum,
             )
-        ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
-        ys_r = scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
+        if seq:
+            ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
+            ys = (
+                scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
+                + ys_f
+            )
+        else:
+            # the reverse-pair call accumulates the forward pair's output in
+            # its kernel epilogue: the 4-direction merge costs no extra HBM
+            # pass (y_accum, ops/pallas_scan.py)
+            ys_f = scan(delta_f, Bs_f, Cs_f, 0, False)
+            ys = scan(delta_r, Bs_r, Cs_r, 2 * D, True, y_accum=ys_f).reshape(
+                B, 2, D, L
+            )
 
-        # merge: pointwise in kernel layout, then one fused inverse
-        # permutation per raster (both rasters already aligned — no un-flips)
-        y = kernel_to_raster(ys_f[:, 0] + ys_r[:, 0], H, W, T, col=False, ilv=pre)
-        y = y + kernel_to_raster(ys_f[:, 1] + ys_r[:, 1], H, W, T, col=True, ilv=pre)
+        # one fused inverse permutation per raster (both rasters already
+        # aligned — no un-flips)
+        y = kernel_to_raster(ys[:, 0], H, W, T, col=False, ilv=pre)
+        y = y + kernel_to_raster(ys[:, 1], H, W, T, col=True, ilv=pre)
         y = self._out_norm(y, flags)
         return y.astype(x.dtype)
 

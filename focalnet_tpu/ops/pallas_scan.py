@@ -305,14 +305,22 @@ def _pad_mask(l, shape, L, T, nL, reverse):
 
 def _fwd_kernel(
     u_ref, delta_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, *refs,
-    N, T, D_blk, softplus, has_D, reverse, L, nL, with_state,
+    N, T, D_blk, softplus, has_D, reverse, L, nL, with_state, with_accum,
 ):
     # with_state (static) appends the segment-API refs: an h0 seed input and
-    # an h_last output.  The plain path (with_state=False) is unchanged from
-    # the state-free kernel — zero overhead when nobody wants the state.
+    # an h_last output.  with_accum (static) appends a y_accum input that is
+    # added into y in the epilogue — the second direction-pair call of an
+    # SS2D core accumulates onto the first pair's output IN the kernel,
+    # saving one full-length y round trip + the merge add (the in-place
+    # accumulation the CUDA build gets from writing all 4 directions into
+    # one (K, D, L) tensor, ``csm_triton.py:60-97``).  The plain path
+    # (both False) is unchanged — zero overhead when nobody uses them.
     # (refs = remaining inputs + outputs + scratch, all positional.)
+    refs = list(refs)
+    h0_ref = refs.pop(0) if with_state else None
+    yacc_ref = refs.pop(0) if with_accum else None
     if with_state:
-        h0_ref, y_ref, hchk_ref, hlast_ref, h_state = refs
+        y_ref, hchk_ref, hlast_ref, h_state = refs
     else:
         y_ref, hchk_ref, h_state = refs
     l = pl.program_id(3)
@@ -361,6 +369,8 @@ def _fwd_kernel(
     y = _block_sum(h * _rep_rows(Cm, D_blk), N, D_blk)       # (D_blk, T)
     if has_D:
         y = y + D_ref[0, 0].astype(jnp.float32) * u
+    if with_accum:
+        y = y + yacc_ref[0, 0].astype(jnp.float32)
     y_ref[0, 0] = y.astype(y_ref.dtype)
     if with_state:
         # pinned block: last grid step's write wins == the scan's leaving state
@@ -610,13 +620,13 @@ def scan_chunk_for(L, chunk=DEF_CHUNK):
     return _pick_chunk(L, chunk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
-def _scan_core(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state):
-    y, h_last, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
+def _scan_core(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, with_accum):
+    y, h_last, _ = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, with_accum)
     return y, h_last
 
 
-def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state):
+def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, with_accum):
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
         u, delta, A, B, C, Dskip, delta_bias, chunk, pre_ilv
     )
@@ -627,6 +637,7 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, ou
     kernel = functools.partial(
         _fwd_kernel, N=N, T=T, D_blk=D_blk, softplus=softplus, has_D=has_D,
         reverse=reverse, L=L, nL=nL, with_state=with_state,
+        with_accum=with_accum,
     )
     # a reverse scan walks the chunk grid right-to-left
     if reverse:
@@ -661,6 +672,10 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, ou
         out_specs.append(pl.BlockSpec((1, 1, 1, NR, 1), state))           # h_last
         out_shape.append(jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32))
         operands.append(_state_to_rows(h0.astype(jnp.float32), nD, D_blk, N))
+    if with_accum:
+        # y_acc arrives in the OUTPUT's layout (interleaved when pre_ilv)
+        in_specs.append(pl.BlockSpec((1, 1, D_blk, T), seq))              # y_acc
+        operands.append(y_acc if pre_ilv else _ilv(_pad_L(y_acc, Lp), T))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -681,12 +696,12 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, ou
     return _dilv(y, T)[..., :L], h_last, hchk
 
 
-def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state):
-    y, h_last, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state)
+def _scan_vjp_fwd(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, with_accum):
+    y, h_last, hchk = _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, with_accum)
     return (y, h_last), (u, delta, A, B, C, Dskip, delta_bias, hchk)
 
 
-def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, res, cts):
+def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_state, with_accum, res, cts):
     dy, dh_last = cts
     u, delta, A, B, C, Dskip, delta_bias, hchk = res
     (u_p, delta_p, A_nm, B_p, C_p, D4, bias4), dims = _prep(
@@ -792,7 +807,11 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_stat
         if with_state
         else jnp.zeros((Bsz, G, D, N), jnp.float32)
     )
-    return du, ddelta, dA, dB, dC, dD, dbias, dh0
+    # y = scan(...) + y_acc elementwise, so d(y_acc) is dy verbatim (in the
+    # same layout/crop the caller sees y in); without accum the primal is the
+    # (1, 1, 1, 1) placeholder
+    dy_acc = dy if with_accum else jnp.zeros((1, 1, 1, 1), jnp.float32)
+    return du, ddelta, dA, dB, dC, dD, dbias, dh0, dy_acc
 
 
 _scan_core.defvjp(_scan_vjp_fwd, _scan_vjp_bwd)
@@ -813,6 +832,7 @@ def selective_scan_pallas(
     pre_interleaved=False,
     h0=None,
     return_state=False,
+    y_accum=None,
 ):
     """Pallas selective scan with the oracle's canonical signature.
 
@@ -837,6 +857,14 @@ def selective_scan_pallas(
     flipping y back — but with zero data movement.  SS2D's directions 2/3
     (the flipped rasters, ``csm_triton.py:20-24``) use this to share the
     direction-0/1 operand layouts instead of materializing flipped copies.
+
+    ``y_accum`` (batch, dim, L, in the same layout y will be returned in —
+    interleaved under ``pre_interleaved``) is added into y INSIDE the kernel
+    epilogue: an SS2D core passes the forward-pair output as ``y_accum`` to
+    the reverse-pair call, so the 4-direction merge costs zero extra HBM
+    passes (the analogue of the CUDA cross-merge writing all K directions
+    into one tensor, ``csm_triton.py:60-97``).  Differentiable: the y_accum
+    cotangent is dy itself.
 
     ``pre_interleaved=True`` declares that u/delta/B/C are ALREADY in the
     kernel's interleaved chunk layout (:func:`interleave` with
@@ -881,15 +909,21 @@ def selective_scan_pallas(
         if h0 is not None
         else jnp.zeros((batch, G, D_per, N), jnp.float32)
     )
+    with_accum = y_accum is not None
+    yacc4 = (
+        y_accum.reshape(batch, G, D_per, L)
+        if with_accum
+        else jnp.zeros((1, 1, 1, 1), jnp.float32)
+    )
 
     u4 = u.reshape(batch, G, D_per, L)
     delta4 = delta.reshape(batch, G, D_per, L)
     A4 = A.reshape(G, D_per, N)
     y, h_last = _scan_core(
         u4, delta4, A4, B, C,
-        Dv.astype(jnp.float32), biasv.astype(jnp.float32), h0v,
+        Dv.astype(jnp.float32), biasv.astype(jnp.float32), h0v, yacc4,
         delta_softplus, has_D, jnp.dtype(out_dtype), chunk, reverse,
-        pre_interleaved, with_state,
+        pre_interleaved, with_state, with_accum,
     )
     y = y.reshape(batch, dim, L)
     if return_state:

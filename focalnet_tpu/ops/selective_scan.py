@@ -57,6 +57,7 @@ def selective_scan(
     pre_interleaved=False,
     h0=None,
     return_state=False,
+    y_accum=None,
 ):
     """Selective scan with automatic backend choice.
 
@@ -73,9 +74,21 @@ def selective_scan(
     returns the leaving state h_last (batch, dim, N) — the segment API used
     by the sequence-sharded multi-chip scan.  States are layout/direction
     invariant: h0/h_last are plain (batch, dim, N) on every backend.
+    ``y_accum`` (same shape/layout as the returned y) is added into y — in
+    the kernel epilogue on the pallas backend, as a plain add elsewhere.
     """
     if backend == "auto":
         backend = _default_backend()
+    if y_accum is not None and backend != "pallas":
+        out = selective_scan(
+            u, delta, A, B, C, D=D, delta_bias=delta_bias,
+            delta_softplus=delta_softplus, out_dtype=out_dtype,
+            backend=backend, chunk=chunk, reverse=reverse,
+            pre_interleaved=pre_interleaved, h0=h0, return_state=return_state,
+        )
+        if return_state:
+            return out[0] + y_accum, out[1]
+        return out + y_accum
     kwargs = dict(
         D=D, delta_bias=delta_bias, delta_softplus=delta_softplus,
         out_dtype=out_dtype or jax.numpy.float32,
@@ -86,7 +99,7 @@ def selective_scan(
         return selective_scan_pallas(
             u, delta, A, B, C, reverse=reverse,
             pre_interleaved=pre_interleaved, h0=h0,
-            return_state=return_state, **kwargs,
+            return_state=return_state, y_accum=y_accum, **kwargs,
         )
     if pre_interleaved:
         T = scan_chunk_for(u.shape[-1], chunk or DEF_CHUNK)

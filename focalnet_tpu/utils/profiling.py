@@ -54,9 +54,10 @@ def timed(fn, *args, iters: int = 10, warmup: int = 3):
 def parse_trace(log_dir: str, min_us: float = 0.0):
     """Aggregate DEVICE-side op time from a jax.profiler trace directory.
 
-    Returns ``{"total_ms": float, "ops": [(name, ms, count), ...]}`` sorted by
-    time, summing complete events on the TPU device track (the host/python
-    tracks are excluded — through the axon tunnel they mostly measure RTT).
+    Returns ``{"total_ms": float, "ops": [(name, ms, count, hlo_category),
+    ...]}`` sorted by time, summing complete events on the TPU device track
+    (the host/python tracks are excluded — through the axon tunnel they
+    mostly measure RTT).
     The trustworthy per-op view CLAUDE.md prescribes for any perf claim.
     """
     import collections
@@ -96,12 +97,21 @@ def parse_trace(log_dir: str, min_us: float = 0.0):
         dur = float(e.get("dur", 0.0))
         if dur < min_us:
             continue
+        # Event names are jax named-scope labels (e.g. "op._core.48"); the
+        # HLO opcode class lives in args["hlo_category"].  Carry both so
+        # op_mix can bucket on the category, not the scope name.
+        args = e.get("args", {})
         name = e.get("name", "?")
-        agg[name][0] += dur
-        agg[name][1] += 1
+        cat = str(args.get("hlo_category", ""))
+        # control-flow containers ("while", "conditional") span their body
+        # ops on the same track — summing them double-counts every op inside
+        if cat in ("while", "conditional", "call"):
+            continue
+        agg[(name, cat)][0] += dur
+        agg[(name, cat)][1] += 1
         total += dur
     ops = sorted(
-        ((k, v[0] / 1000.0, v[1]) for k, v in agg.items()),
+        ((k[0], v[0] / 1000.0, v[1], k[1]) for k, v in agg.items()),
         key=lambda x: -x[1],
     )
     return {"total_ms": total / 1000.0, "ops": ops}
@@ -109,18 +119,25 @@ def parse_trace(log_dir: str, min_us: float = 0.0):
 
 def op_mix(log_dir: str, buckets=None, min_us: float = 0.0):
     """Bucket :func:`parse_trace` output by substring -> ms, for quick
-    scan/fusion/layout/conv style breakdowns."""
+    scan/fusion/layout/conv style breakdowns.
+
+    Matches against ``"<hlo_category> <scope name>"`` lowercased: device
+    event *names* are jax named-scope labels ("op._core.48"), so the HLO
+    category from the event args is what identifies custom-calls (the Pallas
+    scan), convolution/loop fusions, and data-formatting ops.
+    """
     r = parse_trace(log_dir, min_us=min_us)
     buckets = buckets or {
         "scan_kernel": ("custom-call", "pallas", "scan"),
+        "conv": ("convolution",),
         "fusion": ("fusion",),
-        "layout": ("transpose", "copy", "bitcast", "reshape"),
-        "conv": ("conv",),
+        "layout": ("data formatting", "transpose", "copy", "bitcast",
+                   "reshape", "slice", "pad"),
     }
     out = {k: 0.0 for k in buckets}
     out["other"] = 0.0
-    for name, ms, _ in r["ops"]:
-        low = name.lower()
+    for name, ms, _count, cat in r["ops"]:
+        low = f"{cat} {name}".lower()
         for k, pats in buckets.items():
             if any(p in low for p in pats):
                 out[k] += ms

@@ -77,6 +77,39 @@ def test_infer_mode(tiny_setup, tmp_path):
     assert len(os.listdir(out_dir)) == 4
 
 
+def test_infer_batched_matches_batch1(tiny_setup, tmp_path):
+    """Shape-bucketed batched infer (--valid_batch for --mode infer):
+    same saved outputs as batch-1 on a MIXED-size directory, including a
+    partial final bucket (VERDICT r2 item 8).  XLA fuses a batch-2 forward
+    differently from batch-1, so floats can differ by an ulp — allow one
+    uint8 quantization level, exact otherwise."""
+    from PIL import Image
+
+    from focalnet_tpu.evaluation import infer
+
+    model, cfg, root = tiny_setup
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+
+    # 3 images at 32x32 (one partial bucket at batch=2) + 2 at 32x64
+    src = tmp_path / "mixed"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i, (h, w) in enumerate([(32, 32), (32, 32), (32, 32),
+                                (32, 64), (32, 64)]):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(src / f"img{i}.png")
+
+    out1, outb = str(tmp_path / "b1"), str(tmp_path / "bN")
+    infer(model, params, str(src), out1, batch_size=1)
+    infer(model, params, str(src), outb, batch_size=2)
+    files = sorted(os.listdir(out1))
+    assert files == sorted(os.listdir(outb)) and len(files) == 5
+    for f in files:
+        a = np.asarray(Image.open(os.path.join(out1, f))).astype(np.int16)
+        b = np.asarray(Image.open(os.path.join(outb, f))).astype(np.int16)
+        assert np.max(np.abs(a - b)) <= 1, f
+
+
 def test_cli_train_data_parallel(tmp_path):
     """CLI `--mode train --mesh_shape 4` on the 8-device CPU mesh: the
     training loop actually shards the batch over a multi-device data axis

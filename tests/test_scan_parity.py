@@ -396,3 +396,64 @@ def test_segment_api_gradients(L, reverse):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5,
             err_msg=f"L={L} reverse={reverse} {name}",
         )
+
+
+@pytest.mark.parametrize("backend", ["pallas", "chunked"])
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("L", [256, 192])  # 192: padded tail in the kernel
+def test_y_accum_fusion(backend, reverse, L):
+    """``y_accum`` (the in-kernel 4-direction merge add) must equal
+    scan-then-add in values AND in every gradient, including the y_accum
+    cotangent (which is dy verbatim)."""
+    from focalnet_tpu.ops.selective_scan import selective_scan as scan
+
+    u, delta, A, B, C, D, bias = make_inputs(
+        jax.random.PRNGKey(29), 2, 8, 4, L, 1, jnp.float32, True, True
+    )
+    ya = jax.random.normal(jax.random.PRNGKey(30), u.shape)
+
+    def loss(fused):
+        def f(u, ya):
+            kw = dict(D=D, delta_bias=bias, delta_softplus=True,
+                      backend=backend, reverse=reverse)
+            if fused:
+                y = scan(u, delta, A, B, C, y_accum=ya, **kw)
+            else:
+                y = scan(u, delta, A, B, C, **kw) + ya
+            return jnp.sum(y * jnp.cos(y * 0.1))
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(u, ya)
+        return val, grads
+
+    v1, (du1, dya1) = loss(False)
+    v2, (du2, dya2) = loss(True)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(du1), np.asarray(du2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dya1), np.asarray(dya2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_y_accum_pre_interleaved():
+    """y_accum composes with the pre_interleaved layout contract: feeding the
+    forward-pair output (interleaved) into the reverse-pair call matches the
+    deinterleaved scan-then-add oracle."""
+    from focalnet_tpu.ops.pallas_scan import interleave, deinterleave, scan_chunk_for
+    from focalnet_tpu.ops.selective_scan import selective_scan as scan
+
+    L = 256
+    T = scan_chunk_for(L)
+    u, delta, A, B, C, D, bias = make_inputs(
+        jax.random.PRNGKey(31), 2, 8, 4, L, 1, jnp.float32, True, True
+    )
+    kw = dict(D=D, delta_bias=bias, delta_softplus=True, backend="pallas")
+    ilv = lambda x: interleave(x, T)
+
+    y_f = scan(ilv(u), ilv(delta), A, ilv(B), ilv(C),
+               pre_interleaved=True, **kw)
+    y = scan(ilv(u), ilv(delta), A, ilv(B), ilv(C),
+             pre_interleaved=True, reverse=True, y_accum=y_f, **kw)
+
+    ref = (scan(u, delta, A, B, C, **kw)
+           + scan(u, delta, A, B, C, reverse=True, **kw))
+    np.testing.assert_allclose(np.asarray(deinterleave(y, T)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
