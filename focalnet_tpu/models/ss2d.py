@@ -236,6 +236,7 @@ class SS2D(nn.Module):
                 self.d_inner, (3, 3), padding=[(1, 1), (1, 1)],
                 feature_group_count=self.d_inner, use_bias=False,
                 kernel_init=torch_default, name="out_norm",
+                precision=jax.lax.Precision.HIGHEST,
             )(y)
         if kind == "softmax":
             B, H, W, C = y.shape
@@ -396,6 +397,12 @@ class SS2D(nn.Module):
                 z = act(z)
         if self.d_conv > 1:
             pad = (self.d_conv - 1) // 2
+            # precision=HIGHEST keeps the depthwise conv in fp32: under the
+            # default precision XLA converts the operands to bf16 and its
+            # bf16 grouped-conv fusion strategy degrades ~11x beyond linear
+            # scaling at batch 8 (profiled [8,64,64,192]: 3.3 ms vs 0.11 ms
+            # fp32).  A grouped conv never touches the MXU, so fp32 costs
+            # nothing here.
             h = nn.Conv(
                 d_inner, (self.d_conv, self.d_conv),
                 padding=[(pad, pad), (pad, pad)],
@@ -403,6 +410,7 @@ class SS2D(nn.Module):
                 kernel_init=torch_default,
                 bias_init=torch_bias_init(self.d_conv * self.d_conv),
                 dtype=self.dtype, name="conv2d",
+                precision=jax.lax.Precision.HIGHEST,
             )(h)
         h = act(h)
 
