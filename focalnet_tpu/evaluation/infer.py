@@ -32,7 +32,7 @@ def _list_images(path: str) -> List[str]:
 
 
 def infer(model, params, input_path: str, result_dir: str,
-          factor: int = 32, batch_size: int = 1) -> dict:
+          factor: int = 32, batch_size: int = 1, mesh=None) -> dict:
     """Dehaze every image under ``input_path`` into ``result_dir``.
 
     ``batch_size > 1`` batches same-padded-shape images into one device
@@ -42,14 +42,40 @@ def infer(model, params, input_path: str, result_dir: str,
     directory compiles exactly one executable per distinct (batch, padded
     H, W).  Partial buckets are padded by repeating the last image (extra
     outputs discarded).  Identical outputs to batch-1.
+
+    ``mesh`` (a ``jax.sharding.Mesh``): serving scale-out — each batch is
+    sharded over the mesh's ``data`` axis (XLA moves the shards over ICI),
+    so N chips each dehaze batch/N images per dispatch.  Requires
+    ``batch_size`` divisible by the data-axis size.  Composes with a dp×sp
+    mesh when the model was built with ``seq_mesh`` (the SS2D scans then
+    shard L over ``seq`` inside each data shard).
     """
     from focalnet_tpu.data.reside import _load_image
 
     os.makedirs(result_dir, exist_ok=True)
 
-    @jax.jit
-    def fwd(x):
-        return model.apply(params, x)[2]
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if "data" not in mesh.axis_names:
+            raise ValueError(f"mesh {mesh.axis_names} has no 'data' axis")
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the mesh "
+                f"data-axis size {n_data} for sharded inference"
+            )
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+
+        fwd = jax.jit(
+            lambda x: model.apply(params, x)[2],
+            in_shardings=shard, out_shardings=shard,
+        )
+    else:
+
+        @jax.jit
+        def fwd(x):
+            return model.apply(params, x)[2]
 
     files = _list_images(input_path)
     if not files:

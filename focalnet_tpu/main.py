@@ -133,9 +133,16 @@ def main(args):
         from focalnet_tpu.evaluation import infer
         from focalnet_tpu.train import load_params
 
+        # --mesh_shape shards each inference batch over the data axis
+        # (serving scale-out); a dp x sp shape reuses the model's seq mesh
+        mesh = seq_mesh
+        if mesh is None and mesh_shape:
+            from focalnet_tpu.parallel import make_mesh
+
+            mesh = make_mesh(mesh_shape, ("data",))
         params = load_params(args.test_model)
         infer(model, params, args.input, args.result_dir,
-              batch_size=args.valid_batch)
+              batch_size=args.valid_batch, mesh=mesh)
 
 
 def parse_args(argv=None):

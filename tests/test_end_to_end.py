@@ -110,6 +110,35 @@ def test_infer_batched_matches_batch1(tiny_setup, tmp_path):
         assert np.max(np.abs(a - b)) <= 1, f
 
 
+def test_infer_mesh_sharded_matches_batch1(tiny_setup, tmp_path):
+    """Serving scale-out: `infer(..., mesh=...)` shards each batch over the
+    mesh's data axis; outputs must match the unsharded batch-1 run (same
+    ≤1-quantization-level contract as the batched test)."""
+    from PIL import Image
+
+    from focalnet_tpu.evaluation import infer
+    from focalnet_tpu.parallel import make_mesh
+
+    model, cfg, root = tiny_setup
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+    src = os.path.join(cfg.data_dir, "test", "hazy")
+
+    out1, outm = str(tmp_path / "b1"), str(tmp_path / "mesh")
+    infer(model, params, src, out1, batch_size=1)
+    mesh = make_mesh((4,), ("data",))
+    infer(model, params, src, outm, batch_size=4, mesh=mesh)
+    files = sorted(os.listdir(out1))
+    assert files == sorted(os.listdir(outm)) and len(files) == 4
+    for f in files:
+        a = np.asarray(Image.open(os.path.join(out1, f))).astype(np.int16)
+        b = np.asarray(Image.open(os.path.join(outm, f))).astype(np.int16)
+        assert np.max(np.abs(a - b)) <= 1, f
+
+    # batch not divisible by the data axis is rejected
+    with pytest.raises(ValueError):
+        infer(model, params, src, outm, batch_size=3, mesh=mesh)
+
+
 def test_cli_train_data_parallel(tmp_path):
     """CLI `--mode train --mesh_shape 4` on the 8-device CPU mesh: the
     training loop actually shards the batch over a multi-device data axis

@@ -58,3 +58,60 @@ def test_plot_logs_renders(tmp_path):
     out = plot_logs([str(log)], labels=["run"], out=str(tmp_path / "c.png"))
     import os
     assert os.path.getsize(out) > 1000
+
+
+def test_parse_trace_and_op_mix(tmp_path):
+    """parse_trace sums LEAF ops from the device "XLA Ops" track only —
+    module spans, host tracks, and control-flow container events ("while"
+    wraps every op of an in-jit timing loop) must not double-count — and
+    op_mix buckets on the hlo_category carried in the event args."""
+    import gzip
+    import json
+    import os
+
+    from focalnet_tpu.utils.profiling import op_mix, parse_trace
+
+    def ev(pid, tid, name, dur_us, cat=None):
+        e = {"ph": "X", "pid": pid, "tid": tid, "name": name,
+             "ts": 0, "dur": dur_us}
+        if cat is not None:
+            e["args"] = {"hlo_category": cat}
+        return e
+
+    events = [
+        # metadata: pid 1 = TPU device with an XLA Ops and an XLA Modules
+        # track; pid 2 = host python track
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 1, "tid": 10, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 1, "tid": 11, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 2, "name": "process_name",
+         "args": {"name": "python"}},
+        # leaf ops on the op track
+        ev(1, 10, "op._core.1", 1000.0, "custom-call"),
+        ev(1, 10, "transpose.5", 200.0, "data formatting"),
+        ev(1, 10, "fusion.9", 300.0, "loop fusion"),
+        ev(1, 10, "fusion.12", 150.0, "convolution fusion"),
+        # container + module + host events that must all be EXCLUDED
+        ev(1, 10, "while.2", 1650.0, "while"),
+        ev(1, 11, "jit_many", 1700.0),
+        ev(2, 20, "python_dispatch", 9999.0),
+    ]
+    d = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(d)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    r = parse_trace(str(tmp_path))
+    assert abs(r["total_ms"] - 1.65) < 1e-9
+    names = {n for n, _, _, _ in r["ops"]}
+    assert "while.2" not in names and "jit_many" not in names
+
+    mix = op_mix(str(tmp_path))
+    assert abs(mix["scan_kernel"] - 1.0) < 1e-9
+    assert abs(mix["layout"] - 0.2) < 1e-9
+    assert abs(mix["conv"] - 0.15) < 1e-9
+    assert abs(mix["fusion"] - 0.3) < 1e-9
+    assert mix["other"] == 0.0
