@@ -222,6 +222,7 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
                 ckpt.save_best(params)
 
     ckpt.save_final(params)
+    ckpt.wait()  # all async saves durable before train() returns
     if logf:
         logf.close()
     if metricsf:
