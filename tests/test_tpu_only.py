@@ -91,3 +91,70 @@ def test_flagship_forward_on_hw():
     ]
     for o in outs:
         assert bool(jnp.all(jnp.isfinite(o)))
+
+
+def test_y_accum_fusion_on_hw():
+    """Mosaic-compiled y_accum epilogue (the in-kernel 4-direction merge)
+    vs scan-then-add, values and grads, at a full-res-core-like shape."""
+    from focalnet_tpu.ops.selective_scan import selective_scan
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    D, N, G, L = 384, 16, 2, 4096
+    u = jax.random.normal(ks[0], (1, D, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (1, D, L))
+    A = -0.5 - jax.random.uniform(ks[2], (D, N))
+    B = jax.random.normal(ks[3], (1, G, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (1, G, N, L)) * 0.5
+    Dv = jax.random.normal(ks[5], (D,))
+    bias = jax.random.normal(ks[6], (D,)) * 0.1
+    ya = jax.random.normal(ks[7], (1, D, L))
+
+    def loss(fused):
+        def f(u, ya):
+            kw = dict(D=Dv, delta_bias=bias, delta_softplus=True,
+                      backend="pallas", reverse=True)
+            if fused:
+                y = selective_scan(u, delta, A, B, C, y_accum=ya, **kw)
+            else:
+                y = selective_scan(u, delta, A, B, C, **kw) + ya
+            return jnp.mean(y * jnp.cos(y * 0.1))
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(u, ya)
+
+    v1, (du1, dya1) = loss(True)
+    v2, (du2, dya2) = loss(False)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(du1), np.asarray(du2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dya1), np.asarray(dya2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_depthwise_conv_stays_fp32_on_hw():
+    """The SS2D depthwise conv must match an fp32 reference closely on the
+    real chip — guards the precision=HIGHEST setting (without it XLA
+    converts the grouped conv to bf16: ~4e-3 deviations AND a pathological
+    batch-8 fusion strategy; NOTES r3 item 10)."""
+    from flax import linen as nn
+
+    class DW(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(
+                x.shape[-1], (3, 3), padding=[(1, 1), (1, 1)],
+                feature_group_count=x.shape[-1], use_bias=False,
+                precision=jax.lax.Precision.HIGHEST,
+            )(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 64, 192))
+    m = DW()
+    p = m.init({"params": jax.random.PRNGKey(1)}, x)
+    got = jax.jit(m.apply)(p, x)
+    w = p["params"]["Conv_0"]["kernel"]
+    # fp32 reference: 9 shifted fused multiply-adds
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = sum(
+        xp[:, i : i + 64, j : j + 64, :] * w[i, j, 0]
+        for i in range(3) for j in range(3)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
