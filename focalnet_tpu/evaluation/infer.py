@@ -83,24 +83,12 @@ def infer(model, params, input_path: str, result_dir: str,
 
     time_adder = Adder()
 
-    def run(batch):
-        """batch: list of (path, padded, h, w) with identical padded shapes."""
-        n = len(batch)
-        stack = [b[1] for b in batch] + [batch[-1][1]] * (batch_size - n)
-        tm = time.time()
-        preds = np.asarray(fwd(np.concatenate(stack, axis=0)))[:n]
-        time_adder((time.time() - tm) / n)
-        for pred, (path, _, h, w) in zip(preds, batch):
-            pred = np.clip(pred[:h, :w], 0.0, 1.0)
-            save_image(pred, os.path.join(result_dir, os.path.basename(path)))
-
     if batch_size <= 1:
-        for path in files:
-            padded, (h, w) = pad_to_multiple(_load_image(path)[None], factor)
-            run([(path, padded, h, w)])
+        path_batches = [[p] for p in files]
     else:
         # group paths by padded shape from the image HEADER (no pixel
-        # decode), then decode lazily one bucket at a time
+        # decode), so a mixed-size directory compiles one executable per
+        # distinct (batch, padded H, W)
         from PIL import Image
 
         by_shape: dict = {}
@@ -112,14 +100,60 @@ def infer(model, params, input_path: str, result_dir: str,
             key = (-(-h // factor) * factor if h % factor else h,
                    -(-w // factor) * factor if w % factor else w)
             by_shape.setdefault(key, []).append(path)
-        for group in by_shape.values():
-            for i in range(0, len(group), batch_size):
-                batch = []
-                for path in group[i : i + batch_size]:
-                    padded, (h, w) = pad_to_multiple(
-                        _load_image(path)[None], factor)
-                    batch.append((path, padded, h, w))
-                run(batch)
+        path_batches = [
+            group[i : i + batch_size]
+            for group in by_shape.values()
+            for i in range(0, len(group), batch_size)
+        ]
+
+    def decode(paths):
+        batch = []
+        for path in paths:
+            padded, (h, w) = pad_to_multiple(_load_image(path)[None], factor)
+            batch.append((path, padded, h, w))
+        return batch
+
+    def save(pred, path, h, w):
+        pred = np.clip(pred[:h, :w], 0.0, 1.0)
+        save_image(pred, os.path.join(result_dir, os.path.basename(path)))
+
+    def run(batch, saver):
+        """batch: list of (path, padded, h, w) with identical padded shapes."""
+        n = len(batch)
+        pad = max(batch_size, 1) - n
+        stack = [b[1] for b in batch] + [batch[-1][1]] * pad
+        tm = time.time()
+        preds = np.asarray(fwd(np.concatenate(stack, axis=0)))[:n]
+        time_adder((time.time() - tm) / n)
+        for pred, (path, _, h, w) in zip(preds, batch):
+            saver.submit(save, pred, path, h, w)
+
+    # pipeline host IO around the device: one thread decodes the NEXT batch
+    # and one thread PNG-encodes the previous outputs while the device runs
+    # the current forward (the serving loop never idles on disk)
+    from concurrent.futures import ThreadPoolExecutor
+
+    save_futs = []
+
+    class _Saver:
+        def __init__(self, ex):
+            self.ex = ex
+
+        def submit(self, *a):
+            save_futs.append(self.ex.submit(*a))
+
+    with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as saver:
+        sv = _Saver(saver)
+        pending = None
+        for paths in path_batches:
+            nxt = loader.submit(decode, paths)
+            if pending is not None:
+                run(pending.result(), sv)
+            pending = nxt
+        if pending is not None:
+            run(pending.result(), sv)
+    for f in save_futs:  # surface any encode/write error
+        f.result()
 
     print("Dehazed %d images -> %s (avg %.3fs/img)" % (
         len(files), result_dir, time_adder.average()))

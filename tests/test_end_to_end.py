@@ -29,12 +29,15 @@ def tiny_setup(tmp_path_factory):
         model_save_dir=os.path.join(str(root), "weights"),
         learning_rate=1e-3, grad_clip=1.0,
     )
+    # train inside the fixture so every test in this module (infer/eval/
+    # resume) can run standalone under -k selection, not only after the
+    # training test
+    train(model, None, cfg, log_file=os.path.join(cfg.model_save_dir, "train.log"))
     return model, cfg, root
 
 
 def test_train_checkpoints_eval(tiny_setup):
     model, cfg, root = tiny_setup
-    train(model, None, cfg, log_file=os.path.join(cfg.model_save_dir, "train.log"))
 
     # the reference's checkpoint trio + final (train.py:110-131)
     for name in ["model", "model_1", "model_2", "Best", "Final"]:
