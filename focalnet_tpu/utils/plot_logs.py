@@ -19,12 +19,23 @@ from typing import Dict, List, Optional, Tuple
 PSNR_RE = re.compile(r"Average PSNR\s+([0-9.]+)\s*dB")
 EPOCH_RE = re.compile(r"^(\d+)\s+epoch")
 LOSS_RE = re.compile(r"Loss content:\s*([0-9.]+)\s+Loss fft:\s*([0-9.]+)")
+# per-epoch summary line ("Epoch Pixel Loss ... Epoch FFT Loss", the
+# reference's train.py:106-108 format) — the only loss record in train.log
+# when print_freq exceeds the iters per epoch
+EPOCH_LOSS_RE = re.compile(
+    r"Epoch Pixel Loss:\s*([0-9.]+)\s+Epoch FFT Loss:\s*([0-9.]+)")
 
 
 def parse_log(path: str) -> Dict[str, List[Tuple[float, float]]]:
-    """Return {"psnr": [(epoch, dB)], "content": [(i, v)], "fft": [(i, v)]}."""
+    """Return {"psnr": [(epoch, dB)], "content": [(i, v)], "fft": [(i, v)]}.
+
+    Loss curves come from the per-print_freq iteration lines when present,
+    otherwise from the per-epoch summary lines (x = epoch).
+    """
     psnr, content, fft = [], [], []
+    ep_content, ep_fft = [], []
     last_epoch = None
+    n_epoch_loss = 0
     with open(path) as f:
         for line in f:
             m = EPOCH_RE.match(line.strip())
@@ -37,6 +48,13 @@ def parse_log(path: str) -> Dict[str, List[Tuple[float, float]]]:
             if m:
                 content.append((len(content), float(m.group(1))))
                 fft.append((len(fft), float(m.group(2))))
+            m = EPOCH_LOSS_RE.search(line)
+            if m:
+                n_epoch_loss += 1
+                ep_content.append((float(n_epoch_loss), float(m.group(1))))
+                ep_fft.append((float(n_epoch_loss), float(m.group(2))))
+    if not content:
+        content, fft = ep_content, ep_fft
     return {"psnr": psnr, "content": content, "fft": fft}
 
 
@@ -65,7 +83,8 @@ def plot_logs(paths, labels=None, out: str = "curves.png",
             axes[2].plot(xs, ys, label=label)
     for ax, title in zip(axes, ["PSNR (dB)", "Pixel loss", "FFT loss"]):
         ax.set_title(title)
-        ax.legend()
+        if ax.get_legend_handles_labels()[0]:
+            ax.legend()
         ax.grid(True, alpha=0.3)
     fig.tight_layout()
     fig.savefig(out, dpi=120)

@@ -43,6 +43,23 @@ def test_parse_log(tmp_path):
     assert d["psnr"] == [(1.0, 33.21)]
 
 
+def test_parse_log_epoch_loss_fallback(tmp_path):
+    """When print_freq exceeds iters/epoch, train.log has no per-iter loss
+    lines; loss curves fall back to the per-epoch summaries (x = epoch)."""
+    log = tmp_path / "train.log"
+    log.write_text(
+        "EPOCH: 01\n"
+        "Elapsed time: 1.00 Epoch Pixel Loss: 0.9 Epoch FFT Loss: 50.0\n"
+        "001 epoch \n Average PSNR 30.00 dB\n"
+        "EPOCH: 02\n"
+        "Elapsed time: 1.00 Epoch Pixel Loss: 0.7 Epoch FFT Loss: 40.0\n"
+    )
+    d = parse_log(str(log))
+    assert d["content"] == [(1.0, 0.9), (2.0, 0.7)]
+    assert d["fft"] == [(1.0, 50.0), (2.0, 40.0)]
+    assert d["psnr"] == [(1.0, 30.0)]
+
+
 def test_plot_logs_renders(tmp_path):
     from focalnet_tpu.utils.plot_logs import plot_logs
 
