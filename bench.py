@@ -1,10 +1,12 @@
 """Benchmark: 256^2 dehazed images/sec/chip on the flagship (1mlp_g2) model.
 
 Replicates the reference's eval protocol shape (batch-1 full-resolution
-forward, ``ITS/eval.py:39-45``) but measures device throughput by running
-dependent forwards inside one jit — the axon tunnel adds ~25ms RTT per
-dispatch and does not honor block_until_ready, which would otherwise dominate
-and mask real kernel progress between rounds.  Prints ONE JSON line.
+forward, ``ITS/eval.py:39-45``) but measures device throughput by timing two
+in-jit loops of dependent forwards (50 and 100 iterations) and differencing —
+the axon tunnel adds ~25ms RTT per dispatch and does not honor
+block_until_ready, so a single timed loop carries RTT/n of phantom per-image
+cost; the difference of two loop lengths cancels the fixed cost exactly.
+Prints ONE JSON line.
 
 ``vs_baseline`` compares against ``BASELINE.json``'s ``published`` throughput
 when present; the reference repo publishes no numbers (BASELINE.md), so it
@@ -29,29 +31,39 @@ def main():
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 3))
     params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
 
-    # 50 dependent in-jit forwards: the residual tunnel-RTT amortization is
-    # ~25/50 = 0.5 ms/img of phantom fixed cost (CLAUDE.md timing trap); the
-    # profiler-traced device forward is 10.95 ms/img, so the printed figure
-    # under-reads true device throughput by ~5%.
-    iters = 50
+    # Two in-jit loops of dependent forwards, 50 and 100 iterations.  Each
+    # timed call pays the same fixed cost (one ~25 ms tunnel RTT + dispatch),
+    # so t(100) - t(50) is the device time of exactly 50 forwards with the
+    # fixed cost cancelled — the CLAUDE.md timing trap eliminated by
+    # construction instead of amortized.  Cross-checked against the
+    # jax.profiler device trace (10.95 ms/img at this shape, BASELINE.md).
+    def make_many(iters):
+        @jax.jit
+        def many(params, x):
+            def body(c, _):
+                y = model.apply(params, x + c * 1e-9)[2]
+                return c + 1.0, jnp.mean(y)
+            c, ys = jax.lax.scan(body, 0.0, None, length=iters)
+            return jnp.mean(ys)  # scalar pull forces full host sync
+        return many
 
-    @jax.jit
-    def many(params, x):
-        def body(c, _):
-            y = model.apply(params, x + c * 1e-9)[2]
-            return c + 1.0, jnp.mean(y)
-        c, ys = jax.lax.scan(body, 0.0, None, length=iters)
-        return jnp.mean(ys)  # scalar pull forces full host sync
+    many50, many100 = make_many(50), make_many(100)
 
-    float(many(params, x))  # compile
-    float(many(params, x))  # warmup
-    best = None
-    for _ in range(3):  # best-of-3 guards against tunnel congestion spikes
+    def timed(fn):
         t0 = time.time()
-        float(many(params, x))
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    ips = iters / best
+        float(fn(params, x))
+        return time.time() - t0
+
+    timed(many50), timed(many100)  # compile
+    timed(many50), timed(many100)  # warmup
+    # best-of-3 per length guards against tunnel congestion spikes
+    t50 = min(timed(many50) for _ in range(3))
+    t100 = min(timed(many100) for _ in range(3))
+    dt = t100 - t50
+    # sanity: the device time of 50 forwards is ~0.55 s here; if congestion
+    # jitter ever swamps the difference, fall back to the amortized estimate
+    # (which only UNDER-reads, by the fixed cost / 100)
+    ips = 50 / dt if dt > 0.2 * t50 else 100 / t100
 
     baseline = None
     try:

@@ -6,12 +6,37 @@ from __future__ import annotations
 import os
 
 
+def _host_cpu_tag() -> str:
+    """Fingerprint of the host CPU's feature set.
+
+    XLA:CPU cache entries are AOT executables for the exact host
+    microarchitecture; loading one compiled on a different machine can
+    segfault (see tests/conftest.py).  CPU cache dirs are keyed by this tag
+    so the repo can move between hosts.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            src = next(l for l in f if l.startswith("flags"))
+    except Exception:
+        import platform
+
+        src = platform.processor() or platform.machine()
+    return hashlib.md5(src.encode()).hexdigest()[:8]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    path = path or os.environ.get(
-        "FOCALNET_COMPILE_CACHE", os.path.expanduser("~/.jax_cache")
-    )
+    path = path or os.environ.get("FOCALNET_COMPILE_CACHE")
+    if path is None:
+        # decided from the env var (not jax.default_backend(), which would
+        # initialize the backend — and hang here if the TPU tunnel is down)
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            path = os.path.expanduser(f"~/.jax_cache_cpu_{_host_cpu_tag()}")
+        else:
+            path = os.path.expanduser("~/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
