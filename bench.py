@@ -18,6 +18,23 @@ import time
 
 
 def main():
+    import os
+    import sys
+    import threading
+
+    # fail fast instead of hanging the driver if the axon tunnel is down
+    # (device claim blocks inside jax backend init with no timeout of its own)
+    budget = float(os.environ.get("FOCALNET_BENCH_TIMEOUT", "3600"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(budget):
+            print(f"bench.py watchdog: no result after {budget:.0f}s "
+                  "(TPU tunnel down?)", file=sys.stderr)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +90,7 @@ def main():
         pass
     vs = round(ips / baseline, 3) if baseline else None
 
+    done.set()
     print(json.dumps({
         "metric": "dehaze_256_images_per_sec_per_chip",
         "value": round(ips, 2),
