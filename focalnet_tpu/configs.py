@@ -87,6 +87,9 @@ class TrainConfig:
     lr_min: float = 1e-6
     grad_clip: float = 0.001  # clip_grad_norm_(0.001), ``train.py:90``
     fft_loss_weight: float = 0.1  # loss = content + 0.1 * fft, ``train.py:88``
+    # micro-batches per optimizer step (activation HBM scales with
+    # batch_size/grad_accum while the effective batch stays batch_size)
+    grad_accum: int = 1
     print_freq: int = 100
     num_worker: int = 8
     save_freq: int = 10

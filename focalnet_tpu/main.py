@@ -84,6 +84,7 @@ def main(args):
         save_freq=args.save_freq,
         valid_freq=args.valid_freq,
         valid_batch=args.valid_batch,
+        grad_accum=args.grad_accum,
         crop_size=args.crop_size,
         seed=args.seed,
         model_save_dir=args.model_save_dir,
@@ -167,6 +168,10 @@ def parse_args(argv=None):
     p.add_argument("--num_worker", type=int, default=8)
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--valid_freq", type=int, default=10)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches per optimizer step (activation HBM "
+                        "scales with batch_size/grad_accum; effective batch "
+                        "unchanged)")
     p.add_argument("--valid_batch", type=int, default=1,
                    help=">1 batches same-size images per forward during "
                         "validation and --mode infer (same outputs; the "

@@ -66,25 +66,74 @@ def set_lr(opt_state, lr):
     return opt_state
 
 
-def make_train_step(model, tx, fft_weight: float):
+def make_train_step(model, tx, fft_weight: float, grad_accum: int = 1):
+    """One jitted step: loss + grad + clip + update.
+
+    ``grad_accum > 1`` splits the global batch into that many equal
+    micro-batches and accumulates gradients over a ``lax.scan`` before the
+    single optimizer update — activation HBM scales with the micro-batch
+    while the effective batch stays ``batch_size`` (the TPU substitute for
+    the big-batch regime; the loss is a per-sample mean, so equal micro
+    means average to the exact full-batch gradient, fp reorder aside).
+    """
+
+    def loss_fn(p, hazy, gt, rng):
+        preds = model.apply(
+            p, hazy, deterministic=False, train=False,
+            rngs={"droppath": rng, "dropout": jax.random.fold_in(rng, 1)},
+        )
+        total, content, fft = multiscale_loss(preds, gt, fft_weight)
+        return total, (content, fft)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, hazy, gt, rng):
-        def loss_fn(p):
-            preds = model.apply(
-                p, hazy, deterministic=False, train=False,
-                rngs={"droppath": rng, "dropout": jax.random.fold_in(rng, 1)},
-            )
-            total, content, fft = multiscale_loss(preds, gt, fft_weight)
-            return total, (content, fft)
-
         (loss, (content, fft)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params)
+        )(params, hazy, gt, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "content": content, "fft": fft}
 
-    return train_step
+    if grad_accum == 1:
+        return train_step
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step_accum(params, opt_state, hazy, gt, rng):
+        b = hazy.shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch size {b} not divisible by grad_accum {grad_accum}")
+        mb = b // grad_accum
+        hz = hazy.reshape(grad_accum, mb, *hazy.shape[1:])
+        gts = gt.reshape(grad_accum, mb, *gt.shape[1:])
+
+        def body(acc, xs):
+            g_acc, m_acc = acc
+            h, g, i = xs
+            (loss, (content, fft)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, h, g, jax.random.fold_in(rng, i))
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            m_acc = jax.tree_util.tree_map(
+                jnp.add, m_acc, {"loss": loss, "content": content, "fft": fft})
+            return (g_acc, m_acc), None
+
+        zeros_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype, jnp.float32)),
+            params)
+        zeros_m = {k: jnp.zeros((), jnp.float32)
+                   for k in ("loss", "content", "fft")}
+        (g_sum, m_sum), _ = jax.lax.scan(
+            body, (zeros_g, zeros_m),
+            (hz, gts, jnp.arange(grad_accum)))
+        inv = 1.0 / grad_accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+        metrics = {k: v * inv for k, v in m_sum.items()}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step_accum
 
 
 def init_params(model, rng, crop: int, batch: int = 1):
@@ -132,7 +181,8 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         crop=cfg.crop_size, seed=cfg.seed,
     )
     max_iter = len(loader)
-    train_step = make_train_step(model, tx, cfg.fft_loss_weight)
+    train_step = make_train_step(model, tx, cfg.fft_loss_weight,
+                                cfg.grad_accum)
 
     logf = open(log_file, "a") if log_file else None
     # structured metrics next to the text log (TensorBoard-scalar equivalent

@@ -378,3 +378,54 @@ def test_full_model_dp_sp_train_step():
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4 * scale,
             err_msg=str(ka),
         )
+
+
+def test_grad_accum_composes_with_data_parallel():
+    """grad_accum under a sharded batch: the in-jit micro-batch scan runs on
+    a DP mesh (XLA reshards the (accum, micro, ...) reshape over ICI) and
+    matches the unsharded grad_accum step."""
+    import optax
+
+    from focalnet_tpu.models import build_net
+    from focalnet_tpu.parallel import replicate, shard_batch
+    from focalnet_tpu.train import make_train_step
+
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4, drop_path_rate=0.0)
+    rng = jax.random.PRNGKey(0)
+    hazy = jax.random.uniform(rng, (8, 32, 32, 3))
+    gt = jnp.clip(hazy * 1.1 - 0.02, 0, 1)
+    params = model.init({"params": rng}, hazy[:1])
+
+    tx = optax.sgd(1.0)  # update == -gradient (see test_train_eval.py)
+    step = make_train_step(model, tx, fft_weight=0.1, grad_accum=2)
+
+    p1, _, m1 = step(jax.tree_util.tree_map(jnp.copy, params),
+                     tx.init(params), hazy, gt, rng)
+    # params moved by exactly -grad (sgd 1.0); compute the GLOBAL gradient
+    # scale now — on the CPU mesh device_put REUSES buffers, so replicate()
+    # aliases `params` and the donated step below deletes them
+    deltas1 = jax.tree_util.tree_map(lambda a, b: b - a, params, p1)
+    global_scale = max(float(jnp.max(jnp.abs(x)))
+                       for x in jax.tree.leaves(deltas1))
+
+    mesh = make_mesh(axes=("data",))
+    params_r = replicate(params, mesh)
+    hazy_s, gt_s = shard_batch((hazy, gt), mesh)
+    p8, _, m8 = step(params_r, tx.init(params), hazy_s, gt_s, rng)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    # judge agreement against the global gradient scale — true-zero-grad
+    # leaves (e.g. conv bias into InstanceNorm) carry only reduction-order
+    # cancellation noise (same rationale as
+    # test_data_parallel_train_step_matches_single_device); slightly wider
+    # atol than the plain DP test — the micro-batch scan adds one more
+    # summation reorder on top of the psum
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p1),
+        jax.tree_util.tree_leaves_with_path(p8),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a),
+            rtol=2e-3, atol=2e-4 * global_scale, err_msg=str(ka),
+        )

@@ -359,3 +359,43 @@ def test_validate_batched_matches_batch1(tmp_path):
     for bs in (2, 8):
         got = validate(model, params, root, batch_size=bs)
         np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum over batch 4 produces the same update as the plain
+    full-batch step (the loss is a per-sample mean, so equal micro means
+    average to the exact gradient; drop_path disabled so both paths are
+    deterministic).  SGD makes the update LINEAR in the gradient — under
+    Adam the first step is ~lr*sign(g), which amplifies fp-reorder noise
+    on near-zero components into +-lr flips and can't be compared."""
+    import optax
+
+    from focalnet_tpu.models import build_net
+    from focalnet_tpu.train import make_train_step
+
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4, drop_path_rate=0.0)
+    rng = jax.random.PRNGKey(0)
+    hazy = jax.random.uniform(rng, (4, 32, 32, 3))
+    gt = jnp.clip(hazy * 1.2 - 0.05, 0, 1)
+    params = model.init({"params": rng}, hazy)
+
+    out = {}
+    for accum in (1, 2, 4):
+        tx = optax.sgd(1.0)  # update == -gradient
+        step = make_train_step(model, tx, fft_weight=0.1, grad_accum=accum)
+        p, _, m = step(jax.tree_util.tree_map(jnp.copy, params),
+                       tx.init(params), hazy, gt, rng)
+        out[accum] = (p, m)
+
+    p1, m1 = out[1]
+    for accum in (2, 4):
+        pa, ma = out[accum]
+        for k in ("loss", "content", "fft"):
+            np.testing.assert_allclose(float(ma[k]), float(m1[k]),
+                                       rtol=2e-5, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pa)):
+            # params changed by exactly -grad; grads agree to fp reorder
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
