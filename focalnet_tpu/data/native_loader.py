@@ -60,6 +60,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    if hasattr(lib, "fnl_encode_png"):  # absent in pre-r3 builds of the .so
+        lib.fnl_encode_png.restype = ctypes.c_int
+        lib.fnl_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
     _lib = lib
     return lib
 
@@ -107,3 +113,25 @@ def load_pair_batch(hazy_paths: List[str], gt_paths: List[str], crop: int,
     if rc != 0:
         raise IOError(f"native batch load failed ({rc})")
     return out_h, out_g
+
+
+def encode_png(path: str, rgb_u8: np.ndarray, level: int = 1) -> bool:
+    """Write uint8 RGB (H, W, 3) as PNG via the C++ encoder.
+
+    PNG is lossless at every compression level, so decoded pixels are
+    identical to PIL's output; level 1 trades file size for encode speed
+    (the serving path PNG-encodes behind the device forward — see
+    ``evaluation/infer.py``).  Returns False when the native library (or
+    the symbol, for a stale .so) is unavailable — caller falls back to PIL.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fnl_encode_png"):
+        return False
+    arr = np.ascontiguousarray(rgb_u8, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
+    rc = lib.fnl_encode_png(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr.shape[0], arr.shape[1], level,
+    )
+    return rc == 0

@@ -127,8 +127,19 @@ def eval_ssim(pred: np.ndarray, label: np.ndarray, padded_hw) -> np.ndarray:
 
 def save_image(pred: np.ndarray, path: str) -> None:
     """Save with the reference's +0.5/255 rounding offset before the
-    truncating uint8 conversion (``eval.py:62-66``)."""
+    truncating uint8 conversion (``eval.py:62-66``).
+
+    PNGs go through the native C++ encoder when available (lossless at any
+    compression level, so pixels are identical to PIL's; ~fast level-1
+    zlib keeps the serving loop's background encode ahead of the device —
+    ``infer.py``), falling back to PIL otherwise/for other formats."""
+    x = np.clip(pred + 0.5 / 255.0, 0.0, 1.0)
+    u8 = (x * 255).astype(np.uint8)
+    if path.lower().endswith(".png") and u8.ndim == 3 and u8.shape[2] == 3:
+        from focalnet_tpu.data.native_loader import encode_png
+
+        if encode_png(path, u8):
+            return
     from PIL import Image
 
-    x = np.clip(pred + 0.5 / 255.0, 0.0, 1.0)
-    Image.fromarray((x * 255).astype(np.uint8)).save(path)
+    Image.fromarray(u8).save(path)

@@ -209,6 +209,48 @@ int fnl_decode_image(const char* path, float* out, int max_h, int max_w,
   return 0;
 }
 
+// Encode uint8 RGB (h, w, 3) to a PNG file.  level: zlib compression 0-9
+// (1 = fast, the serving default — PNG is lossless at every level, so the
+// decoded pixels are identical; only file size/speed differ).
+// Returns 0 on success.
+int fnl_encode_png(const char* path, const uint8_t* rgb, int h, int w,
+                   int level) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return -2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -3;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, level);
+  png_set_filter(png, 0, PNG_FILTER_SUB);  // cheap filter, good for photos
+  png_set_IHDR(png, info, (png_uint_32)w, (png_uint_32)h, 8,
+               PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows((size_t)h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = (png_bytep)(rgb + (size_t)y * w * 3);
+  png_write_image(png, rows.data());
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
 // Load a batch of augmented pairs in parallel.
 // hazy_paths/gt_paths: arrays of n C strings; seeds: n 64-bit seeds;
 // out_hazy/out_gt: (n, crop, crop, 3) float32 buffers.
