@@ -35,6 +35,17 @@ def _check_images(names: List[str]) -> None:
 
 
 def _load_image(path: str) -> np.ndarray:
+    """float32 RGB (H, W, 3) in [0, 1]; native C++ decode when built, PIL
+    otherwise.  PNG (the RESIDE format) decodes bit-identically on both
+    paths (test_native_decode_matches_pil); JPEG may differ by +-1 LSB
+    across libjpeg builds."""
+    from focalnet_tpu.data import native_loader
+
+    if native_loader.native_available():
+        try:
+            return native_loader.decode_image(path)
+        except (IOError, RuntimeError):
+            pass  # e.g. image larger than the decode buffer — PIL handles it
     from PIL import Image
 
     with Image.open(path) as im:

@@ -153,7 +153,9 @@ bool decode_file(const char* path, ImageU8* out) {
 
 // ---------------------------------------------------------------- augment
 
-constexpr float kInv255 = 1.0f / 255.0f;
+// true division (not reciprocal-multiply): bit-identical to numpy's
+// uint8/255.0 conversion on the PIL path — parity tests compare exactly
+constexpr float kU8Max = 255.0f;
 
 // paired random crop + hflip + to-float, writing (crop, crop, 3) into out
 void crop_flip_normalize(const ImageU8& img, int i0, int j0, int crop,
@@ -162,13 +164,13 @@ void crop_flip_normalize(const ImageU8& img, int i0, int j0, int crop,
     const uint8_t* src = img.data.data() + ((size_t)(i0 + y) * img.w + j0) * 3;
     float* dst = out + (size_t)y * crop * 3;
     if (!flip) {
-      for (int x = 0; x < crop * 3; ++x) dst[x] = src[x] * kInv255;
+      for (int x = 0; x < crop * 3; ++x) dst[x] = src[x] / kU8Max;
     } else {
       for (int x = 0; x < crop; ++x) {
         const uint8_t* s = src + (size_t)(crop - 1 - x) * 3;
-        dst[(size_t)x * 3 + 0] = s[0] * kInv255;
-        dst[(size_t)x * 3 + 1] = s[1] * kInv255;
-        dst[(size_t)x * 3 + 2] = s[2] * kInv255;
+        dst[(size_t)x * 3 + 0] = s[0] / kU8Max;
+        dst[(size_t)x * 3 + 1] = s[1] / kU8Max;
+        dst[(size_t)x * 3 + 2] = s[2] / kU8Max;
       }
     }
   }
@@ -203,7 +205,7 @@ int fnl_decode_image(const char* path, float* out, int max_h, int max_w,
   if (!decode_file(path, &img)) return -1;
   if (img.h > max_h || img.w > max_w) return -2;
   const size_t n = (size_t)img.h * img.w * 3;
-  for (size_t i = 0; i < n; ++i) out[i] = img.data[i] * kInv255;
+  for (size_t i = 0; i < n; ++i) out[i] = img.data[i] / kU8Max;
   *out_h = img.h;
   *out_w = img.w;
   return 0;

@@ -25,15 +25,20 @@ def dataset(tmp_path_factory):
 
 
 def test_native_decode_matches_pil(dataset):
-    from focalnet_tpu.data.reside import _load_image
+    """Bit-exact vs an explicit PIL decode (_load_image itself now prefers
+    the native path, so it can't serve as the reference here); the C++ side
+    divides by 255.0f rather than multiplying by the reciprocal precisely
+    so this holds."""
+    from PIL import Image
 
     d = os.path.join(dataset, "train", "hazy")
     for name in sorted(os.listdir(d))[:3]:
         path = os.path.join(d, name)
         got = decode_image(path)
-        want = _load_image(path)
+        with Image.open(path) as im:
+            want = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
         assert got.shape == want.shape
-        np.testing.assert_allclose(got, want, atol=1e-6)
+        np.testing.assert_array_equal(got, want)
 
 
 def test_native_batch_shapes_and_range(dataset):
