@@ -144,6 +144,40 @@ def main(args):
         params = load_params(args.test_model)
         infer(model, params, args.input, args.result_dir,
               batch_size=args.valid_batch, mesh=mesh)
+    elif args.mode == "convert":
+        # migration path for reference users: torch .pkl (model.pkl /
+        # model_N.pkl / Best.pkl, ``ITS/train.py:110-131``) -> an Orbax
+        # checkpoint dir usable as --test_model / --resume source
+        if not args.input:
+            raise SystemExit(
+                "error: --mode convert requires --input <reference .pkl>"
+            )
+        import jax
+        import jax.numpy as jnp
+
+        from focalnet_tpu.train.checkpoint import CheckpointManager
+        from focalnet_tpu.utils.convert import load_torch_checkpoint
+
+        template = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+        )
+        params, report = load_torch_checkpoint(args.input, template)
+        if report["missing"]:
+            print("WARNING: %d flax leaves had no torch key (left at init):"
+                  % len(report["missing"]))
+            for ours, theirs in report["missing"][:10]:
+                print("  %s  (expected torch key %s)" % (ours, theirs))
+        if report["unused"]:
+            print("WARNING: %d torch keys unused:" % len(report["unused"]))
+            for k in report["unused"][:10]:
+                print("  " + k)
+        out = args.test_model  # destination dir (default results/weights/Best)
+        ckpt = CheckpointManager(os.path.dirname(out) or ".",
+                                 async_save=False)
+        ckpt._save(os.path.basename(out), {"params": params})
+        ckpt.wait()
+        print(f"Converted {args.input} -> {out} (preset {args.preset})")
 
 
 def parse_args(argv=None):
@@ -151,7 +185,7 @@ def parse_args(argv=None):
     p.add_argument("--preset", type=str, default="1mlp_g2",
                    choices=["baseline", "1mlp", "1mlp_g2", "1mlp_g4"])
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "test", "infer"])
+                   choices=["train", "test", "infer", "convert"])
     p.add_argument("--input", type=str, default="",
                    help="image file or directory for --mode infer")
     p.add_argument("--data_dir", type=str, default="dataset/ITS")

@@ -165,3 +165,38 @@ def test_load_torch_checkpoint_pkl(tmp_path):
     assert report["missing"] == [] and report["unused"] == []
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(converted)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_mode_convert(tmp_path):
+    """`--mode convert` migrates a reference .pkl into an Orbax dir loadable
+    by --test_model (the reference-user migration path)."""
+    import torch
+
+    from focalnet_tpu.main import main, parse_args
+    from focalnet_tpu.train import load_params
+
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3))
+    )
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    sd = {}
+    for keypath, leaf in flat:
+        path = tuple(k.key for k in keypath)[1:]
+        key, kind = _translate(path)
+        sd[key] = torch.from_numpy(_to_torch_layout(key, kind, leaf).copy())
+    pkl = tmp_path / "Best.pkl"
+    torch.save({"model": sd}, str(pkl))
+
+    out = str(tmp_path / "weights" / "Best")
+    main(parse_args([
+        "--mode", "convert", "--input", str(pkl), "--test_model", out,
+        "--vssg_dim", "16", "--ssm_d_state", "4",
+        "--scan_backend", "chunked",
+        "--model_save_dir", str(tmp_path / "weights"),
+        "--result_dir", str(tmp_path / "results"),
+    ]))
+    loaded = load_params(out)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
