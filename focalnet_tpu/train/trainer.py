@@ -191,6 +191,16 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         open(os.path.splitext(log_file)[0] + ".metrics.jsonl", "a")
         if log_file else None
     )
+    # real TensorBoard events too, when the (torch-bundled) writer imports —
+    # same tags as the reference (train.py:36,103-104,126)
+    tb = None
+    if log_file:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(os.path.join(cfg.model_save_dir, "runs"))
+        except Exception:
+            pass
 
     def log(msg):
         print(msg)
@@ -260,6 +270,9 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
             "Epoch FFT Loss: %7.4f" % (
                 epoch_idx, epoch_timer.toc(),
                 epoch_pixel.average(), epoch_fft.average()))
+        if tb:
+            tb.add_scalar("Pixel Loss", epoch_pixel.average(), epoch_idx)
+            tb.add_scalar("FFT Loss", epoch_fft.average(), epoch_idx)
         epoch_pixel.reset(); epoch_fft.reset()
 
         if epoch_idx % cfg.valid_freq == 0 or epoch_idx == 1:
@@ -267,12 +280,16 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
                            batch_size=cfg.valid_batch)
             log("%03d epoch \n Average PSNR %.2f dB" % (epoch_idx, val))
             log_metric(epoch=epoch_idx, psnr=val)
+            if tb:
+                tb.add_scalar("PSNR", val, epoch_idx)
             if val >= best_psnr:
                 best_psnr = val
                 ckpt.save_best(params)
 
     ckpt.save_final(params)
     ckpt.wait()  # all async saves durable before train() returns
+    if tb:
+        tb.close()
     if logf:
         logf.close()
     if metricsf:

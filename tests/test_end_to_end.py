@@ -43,6 +43,15 @@ def test_train_checkpoints_eval(tiny_setup):
     for name in ["model", "model_1", "model_2", "Best", "Final"]:
         assert os.path.isdir(os.path.join(cfg.model_save_dir, name)), name
 
+    # real TensorBoard events written when the torch-bundled writer exists
+    try:
+        from torch.utils.tensorboard import SummaryWriter  # noqa: F401
+    except Exception:
+        pass
+    else:
+        runs = os.path.join(cfg.model_save_dir, "runs")
+        assert any(f.startswith("events.") for f in os.listdir(runs)), runs
+
     # log formats parse (plot_logs contract)
     from focalnet_tpu.utils.plot_logs import parse_log
 
