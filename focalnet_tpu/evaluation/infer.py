@@ -43,6 +43,13 @@ def infer(model, params, input_path: str, result_dir: str,
     H, W).  Partial buckets are padded by repeating the last image (extra
     outputs discarded).  Identical outputs to batch-1.
 
+    ``factor`` (multiple of 32): pad H, W up to multiples of this before the
+    forward.  Coarser factors (64/128/256) collapse mixed image sizes into
+    fewer padded shapes — fewer per-shape model compiles (each costs a full
+    compile; ~1 min/shape through the axon tunnel) at the price of more
+    padded compute and marginal border differences from the extra reflect
+    context.  The crop back to (h, w) is unchanged.
+
     ``mesh`` (a ``jax.sharding.Mesh``): serving scale-out — each batch is
     sharded over the mesh's ``data`` axis (XLA moves the shards over ICI),
     so N chips each dehaze batch/N images per dispatch.  Requires

@@ -142,8 +142,13 @@ def main(args):
 
             mesh = make_mesh(mesh_shape, ("data",))
         params = load_params(args.test_model)
+        if args.pad_factor % 32 or args.pad_factor <= 0:
+            raise SystemExit(
+                "error: --pad_factor must be a positive multiple of 32 "
+                "(the model downsamples 3x by 2 and patch-embeds by 2)"
+            )
         infer(model, params, args.input, args.result_dir,
-              batch_size=args.valid_batch, mesh=mesh)
+              factor=args.pad_factor, batch_size=args.valid_batch, mesh=mesh)
     elif args.mode == "convert":
         # migration path for reference users: torch .pkl (model.pkl /
         # model_N.pkl / Best.pkl, ``ITS/train.py:110-131``) -> an Orbax
@@ -206,6 +211,15 @@ def parse_args(argv=None):
                    help="micro-batches per optimizer step (activation HBM "
                         "scales with batch_size/grad_accum; effective batch "
                         "unchanged)")
+    p.add_argument("--pad_factor", type=int, default=32,
+                   help="--mode infer only: reflect-pad H, W up to multiples "
+                        "of this (multiple of 32). Coarser factors (64/128/"
+                        "256) collapse mixed image sizes into fewer padded "
+                        "shapes, so a mixed-size directory compiles fewer "
+                        "executables (each distinct shape costs a full model "
+                        "compile); outputs can differ marginally near borders "
+                        "(more reflect context). Eval/validation stay at the "
+                        "reference's /32 protocol")
     p.add_argument("--valid_batch", type=int, default=1,
                    help=">1 batches same-size images per forward during "
                         "validation and --mode infer (same outputs; the "

@@ -122,6 +122,33 @@ def test_infer_batched_matches_batch1(tiny_setup, tmp_path):
         assert np.max(np.abs(a - b)) <= 1, f
 
 
+def test_infer_pad_factor(tiny_setup, tmp_path):
+    """--pad_factor coarsening: factor=64 collapses 32x32 and 32x64 images
+    into ONE 64x64 padded shape (fewer compiles on mixed-size sets); outputs
+    keep their original dims after the crop back."""
+    from PIL import Image
+
+    from focalnet_tpu.evaluation import infer
+
+    model, cfg, root = tiny_setup
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+
+    src = tmp_path / "mixed_pf"
+    src.mkdir()
+    rng = np.random.RandomState(1)
+    sizes = [(32, 32), (32, 64), (32, 32)]
+    for i, (h, w) in enumerate(sizes):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(src / f"img{i}.png")
+
+    out = str(tmp_path / "pf64")
+    res = infer(model, params, str(src), out, factor=64, batch_size=2)
+    assert res["count"] == 3
+    for i, (h, w) in enumerate(sizes):
+        im = np.asarray(Image.open(os.path.join(out, f"img{i}.png")))
+        assert im.shape == (h, w, 3)
+
+
 def test_infer_mesh_sharded_matches_batch1(tiny_setup, tmp_path):
     """Serving scale-out: `infer(..., mesh=...)` shards each batch over the
     mesh's data axis; outputs must match the unsharded batch-1 run (same
