@@ -143,14 +143,23 @@ def infer(model, params, input_path: str, result_dir: str,
     save_futs = []
 
     class _Saver:
-        def __init__(self, ex):
+        """Encode queue with BACKPRESSURE: at most ~2 batches of encodes may
+        be outstanding (each pending future pins a full-res prediction in
+        RAM — unbounded, a long directory with slow PNG encode would grow
+        the queue without limit).  Waiting on the oldest also surfaces
+        encode/write errors near where they happen instead of at the end."""
+
+        def __init__(self, ex, max_pending):
             self.ex = ex
+            self.max_pending = max(2, max_pending)
 
         def submit(self, *a):
             save_futs.append(self.ex.submit(*a))
+            while len(save_futs) > self.max_pending:
+                save_futs.pop(0).result()
 
     with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as saver:
-        sv = _Saver(saver)
+        sv = _Saver(saver, 2 * max(batch_size, 1))
         pending = None
         for paths in path_batches:
             nxt = loader.submit(decode, paths)

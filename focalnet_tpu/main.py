@@ -39,6 +39,12 @@ def main(args):
     except RuntimeError as e:
         print(f"warning: backend init failed ({e}); falling back to auto")
         jax.config.update("jax_platforms", "")
+        if jax.default_backend() == "cpu":
+            # the cache dir was chosen for the TPU path; XLA:CPU AOT entries
+            # must go to the host-fingerprinted dir (cross-host segfaults)
+            from focalnet_tpu.utils.cache import use_cpu_cache
+
+            use_cpu_cache()
     import jax.numpy as jnp
 
     from focalnet_tpu.configs import PRESETS, TrainConfig
@@ -62,15 +68,26 @@ def main(args):
     mesh_shape = tuple(int(s) for s in args.mesh_shape.split(",") if s) or None
     mesh_axes = ("data",) if not mesh_shape or len(mesh_shape) == 1 else ("data", "seq")
     seq_mesh = None
+    seq_overrides = overrides
     if mesh_shape and len(mesh_shape) > 1:
         from focalnet_tpu.parallel import make_mesh
 
         seq_mesh = make_mesh(mesh_shape, mesh_axes)
-        overrides["seq_axis"] = "seq"
-        overrides["data_axis"] = "data"
+        seq_overrides = dict(overrides, seq_axis="seq", data_axis="data")
 
-    model = build_net(args.preset, seq_mesh=seq_mesh, **overrides)
-    cfg = PRESETS[args.preset].replace(**overrides) if overrides else PRESETS[args.preset]
+    # `model` is mesh-free: its forward runs at ANY batch (param init,
+    # flops report, validation, --mode test/convert — all batch-1 paths).
+    # `seq_model` shards SS2D scans over the seq axis; its shard_map
+    # requires the batch divisible by the data-axis size, so it is used
+    # only where that holds (the train step; sharded infer batches).
+    # Both have identical parameter trees.
+    model = build_net(args.preset, **overrides)
+    seq_model = (
+        build_net(args.preset, seq_mesh=seq_mesh, **seq_overrides)
+        if seq_mesh is not None
+        else model
+    )
+    cfg = PRESETS[args.preset].replace(**seq_overrides) if seq_overrides else PRESETS[args.preset]
 
     train_cfg = TrainConfig(
         mesh_shape=mesh_shape,
@@ -117,14 +134,23 @@ def main(args):
     if args.mode == "train":
         from focalnet_tpu.train import train
 
-        train(model, cfg, train_cfg, resume=args.resume,
-              log_file=os.path.join(args.model_save_dir, "train.log"))
+        train(seq_model, cfg, train_cfg, resume=args.resume,
+              log_file=os.path.join(args.model_save_dir, "train.log"),
+              eval_model=model)
     elif args.mode == "test":
         from focalnet_tpu.evaluation import evaluate
         from focalnet_tpu.train import load_params
 
+        # batch-1 protocol: use the seq model only when its data axis is
+        # trivial (--mesh_shape "1,M" = sequence-parallel eval of batch-1)
+        eval_net = model
+        if seq_mesh is not None and seq_mesh.shape["data"] == 1:
+            eval_net = seq_model
+        elif seq_mesh is not None:
+            print("note: --mode test is batch-1; ignoring the dp axis of "
+                  "--mesh_shape (use \"1,M\" for sequence-parallel eval)")
         params = load_params(args.test_model)
-        evaluate(model, params, args.data_dir,
+        evaluate(eval_net, params, args.data_dir,
                  result_dir=args.result_dir, save_images=args.save_image)
     elif args.mode == "infer":
         if not args.input:
@@ -147,8 +173,15 @@ def main(args):
                 "error: --pad_factor must be a positive multiple of 32 "
                 "(the model downsamples 3x by 2 and patch-embeds by 2)"
             )
-        infer(model, params, args.input, args.result_dir,
-              factor=args.pad_factor, batch_size=args.valid_batch, mesh=mesh)
+        batch = args.valid_batch
+        if mesh is not None and mesh.size > 1 and batch == 1:
+            # default batch-1 cannot shard over the data axis; one image
+            # per device is the natural serving batch
+            batch = mesh.shape["data"]
+            print(f"note: --valid_batch raised to {batch} (one image per "
+                  f"'data'-axis device of --mesh_shape {args.mesh_shape})")
+        infer(seq_model, params, args.input, args.result_dir,
+              factor=args.pad_factor, batch_size=batch, mesh=mesh)
     elif args.mode == "convert":
         # migration path for reference users: torch .pkl (model.pkl /
         # model_N.pkl / Best.pkl, ``ITS/train.py:110-131``) -> an Orbax

@@ -151,8 +151,18 @@ def auto_mesh_shape(batch_size: int):
 
 
 def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
-          resume: Optional[str] = None, log_file: Optional[str] = None):
-    """Full training driver — the ``_train`` equivalent."""
+          resume: Optional[str] = None, log_file: Optional[str] = None,
+          eval_model=None):
+    """Full training driver — the ``_train`` equivalent.
+
+    ``eval_model``: a mesh-free twin of ``model`` (identical parameter tree)
+    used for param init and batch-1 validation.  Required when ``model`` is
+    sequence-parallel (dp×sp): its shard_map needs the batch divisible by the
+    data-axis size, which batch-1 init/validation forwards violate.  Defaults
+    to ``model`` itself.
+    """
+    if eval_model is None:
+        eval_model = model
     shape = cfg.mesh_shape or auto_mesh_shape(cfg.batch_size)
     mesh = make_mesh(tuple(shape), tuple(cfg.mesh_axes))
     if mesh.size > 1:
@@ -160,7 +170,7 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
 
-    params = init_params(model, init_rng, cfg.crop_size)
+    params = init_params(eval_model, init_rng, cfg.crop_size)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     params = replicate(params, mesh)
@@ -236,7 +246,11 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         pending = []
 
         def drain():
-            for m in pending:
+            if not pending:
+                return
+            # ONE batched device->host transfer for every buffered step —
+            # per-scalar float() pulls would pay one ~25 ms tunnel RTT each
+            for m in jax.device_get(pending):
                 c, f = float(m["content"]), float(m["fft"])
                 iter_pixel(c); iter_fft(f)
                 epoch_pixel(c); epoch_fft(f)
@@ -276,7 +290,7 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
         epoch_pixel.reset(); epoch_fft.reset()
 
         if epoch_idx % cfg.valid_freq == 0 or epoch_idx == 1:
-            val = validate(model, params, cfg.data_dir,
+            val = validate(eval_model, params, cfg.data_dir,
                            batch_size=cfg.valid_batch)
             log("%03d epoch \n Average PSNR %.2f dB" % (epoch_idx, val))
             log_metric(epoch=epoch_idx, psnr=val)

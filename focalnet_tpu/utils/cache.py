@@ -42,3 +42,23 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the knobs
+
+
+def use_cpu_cache() -> None:
+    """Re-point the cache at the host-fingerprinted CPU dir.
+
+    MUST be called by any code path that falls back to the CPU backend at
+    runtime (e.g. the CLI's tunnel-outage fallback) after
+    :func:`enable_compilation_cache` already chose the TPU dir from the env
+    var: XLA:CPU AOT entries written into the cross-host ``~/.jax_cache``
+    can SEGFAULT a later run on a different machine (the conftest bug class).
+    """
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(f"~/.jax_cache_cpu_{_host_cpu_tag()}"),
+        )
+    except Exception:
+        pass

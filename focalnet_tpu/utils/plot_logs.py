@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 PSNR_RE = re.compile(r"Average PSNR\s+([0-9.]+)\s*dB")
 EPOCH_RE = re.compile(r"^(\d+)\s+epoch")
+EPOCH_HDR_RE = re.compile(r"^EPOCH:\s*(\d+)")
 LOSS_RE = re.compile(r"Loss content:\s*([0-9.]+)\s+Loss fft:\s*([0-9.]+)")
 # per-epoch summary line ("Epoch Pixel Loss ... Epoch FFT Loss", the
 # reference's train.py:106-108 format) — the only loss record in train.log
@@ -35,9 +36,13 @@ def parse_log(path: str) -> Dict[str, List[Tuple[float, float]]]:
     psnr, content, fft = [], [], []
     ep_content, ep_fft = [], []
     last_epoch = None
+    hdr_epoch = None
     n_epoch_loss = 0
     with open(path) as f:
         for line in f:
+            m = EPOCH_HDR_RE.match(line.strip())
+            if m:
+                hdr_epoch = int(m.group(1))
             m = EPOCH_RE.match(line.strip())
             if m:
                 last_epoch = int(m.group(1))
@@ -51,8 +56,12 @@ def parse_log(path: str) -> Dict[str, List[Tuple[float, float]]]:
             m = EPOCH_LOSS_RE.search(line)
             if m:
                 n_epoch_loss += 1
-                ep_content.append((float(n_epoch_loss), float(m.group(1))))
-                ep_fft.append((float(n_epoch_loss), float(m.group(2))))
+                # x = the REAL epoch from the preceding "EPOCH: NN" header
+                # (a resumed run's appended log restarts epoch numbering
+                # mid-file; a raw counter would misalign vs the PSNR series)
+                x = float(hdr_epoch if hdr_epoch is not None else n_epoch_loss)
+                ep_content.append((x, float(m.group(1))))
+                ep_fft.append((x, float(m.group(2))))
     if not content:
         content, fft = ep_content, ep_fft
     return {"psnr": psnr, "content": content, "fft": fft}

@@ -65,6 +65,10 @@ bool decode_png(FILE* fp, ImageU8* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // constructed BEFORE setjmp: a libpng longjmp must not skip a live
+  // nontrivial object's initialization (UB) — the error branch then returns
+  // normally and the destructor runs
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -91,7 +95,7 @@ bool decode_png(FILE* fp, ImageU8* out) {
   out->h = (int)h;
   out->w = (int)w;
   out->data.resize((size_t)h * w * 3);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = out->data.data() + (size_t)y * w * 3;
   png_read_image(png, rows.data());
@@ -231,6 +235,12 @@ int fnl_encode_png(const char* path, const uint8_t* rgb, int h, int w,
     fclose(fp);
     return -2;
   }
+  // constructed + filled BEFORE setjmp (h/w are parameters): a libpng
+  // longjmp over a nontrivial object's initialization is UB and would leak
+  // the row array on every failed encode
+  std::vector<png_bytep> rows((size_t)h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = (png_bytep)(rgb + (size_t)y * w * 3);
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     fclose(fp);
@@ -243,9 +253,6 @@ int fnl_encode_png(const char* path, const uint8_t* rgb, int h, int w,
                PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  std::vector<png_bytep> rows((size_t)h);
-  for (int y = 0; y < h; ++y)
-    rows[y] = (png_bytep)(rgb + (size_t)y * w * 3);
   png_write_image(png, rows.data());
   png_write_end(png, info);
   png_destroy_write_struct(&png, &info);

@@ -34,17 +34,9 @@ jax.config.update("jax_enable_x64", False)
 # microarchitecture, and loading one produced on a different machine can
 # also segfault ("Machine type used for XLA:CPU compilation doesn't match"
 # warnings precede it).
-def _host_cpu_tag():
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            src = next(l for l in f if l.startswith("flags"))
-    except Exception:
-        import platform
-
-        src = platform.processor() or platform.machine()
-    return hashlib.md5(src.encode()).hexdigest()[:8]
+from focalnet_tpu.utils.cache import _host_cpu_tag  # noqa: E402  (one shared
+# fingerprint implementation — drift between copies would silently split the
+# cache dirs the suite, the library, and the dryrun are meant to share)
 
 
 if _REAL_TPU:

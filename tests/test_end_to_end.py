@@ -203,3 +203,27 @@ def test_cli_train_data_parallel(tmp_path):
     with open(os.path.join(save_dir, "config.json")) as f:
         snap = json.load(f)
     assert tuple(snap["train"]["mesh_shape"]) == (4,)
+
+
+def test_cli_train_dp_sp(tmp_path):
+    """CLI `--mode train --mesh_shape 2,4` (dp x sp): param init and batch-1
+    validation go through the mesh-free eval twin while the train step runs
+    sequence-sharded — previously crashed in model.init (shard_map requires
+    batch % data-axis == 0, violated by every batch-1 forward)."""
+    from focalnet_tpu.main import main, parse_args
+
+    data = make_synthetic_dataset(
+        os.path.join(str(tmp_path), "data"), n_train=4, n_test=1, hw=(32, 32)
+    )
+    save_dir = os.path.join(str(tmp_path), "weights")
+    args = parse_args([
+        "--mode", "train", "--data_dir", data,
+        "--batch_size", "4", "--num_epoch", "1", "--print_freq", "1",
+        "--valid_freq", "1", "--save_freq", "1", "--num_worker", "1",
+        "--mesh_shape", "2,4", "--vssg_dim", "16", "--ssm_d_state", "4",
+        "--scan_backend", "chunked", "--crop_size", "32",
+        "--model_save_dir", save_dir,
+        "--result_dir", os.path.join(str(tmp_path), "imgs"),
+    ])
+    main(args)
+    assert os.path.isdir(os.path.join(save_dir, "Best"))
