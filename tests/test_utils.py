@@ -60,6 +60,44 @@ def test_parse_log_epoch_loss_fallback(tmp_path):
     assert d["psnr"] == [(1.0, 30.0)]
 
 
+def test_parse_log_resumed_epochs(tmp_path):
+    """A resumed run APPENDS to train.log with epoch numbering restarting
+    mid-file; the loss x values must be the real epochs from the 'EPOCH: NN'
+    headers, not a running line counter (which would stretch the curve)."""
+    log = tmp_path / "train.log"
+    log.write_text(
+        "EPOCH: 01\n"
+        "Elapsed time: 1.0 Epoch Pixel Loss: 0.9 Epoch FFT Loss: 50.0\n"
+        "EPOCH: 02\n"
+        "Elapsed time: 1.0 Epoch Pixel Loss: 0.8 Epoch FFT Loss: 45.0\n"
+        # crash + resume from epoch 1's rolling ckpt: epoch 2 re-runs
+        "EPOCH: 02\n"
+        "Elapsed time: 1.0 Epoch Pixel Loss: 0.8 Epoch FFT Loss: 44.0\n"
+        "EPOCH: 03\n"
+        "Elapsed time: 1.0 Epoch Pixel Loss: 0.7 Epoch FFT Loss: 40.0\n"
+    )
+    d = parse_log(str(log))
+    assert [x for x, _ in d["content"]] == [1.0, 2.0, 2.0, 3.0]
+
+
+def test_use_cpu_cache_points_at_fingerprinted_dir():
+    """The runtime CPU fallback must move the compile cache off the shared
+    TPU dir (~/.jax_cache) onto the host-fingerprinted CPU dir — XLA:CPU AOT
+    entries from another machine can segfault (see conftest)."""
+    import jax
+
+    from focalnet_tpu.utils.cache import _host_cpu_tag, use_cpu_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        use_cpu_cache()
+        assert jax.config.jax_compilation_cache_dir.endswith(
+            f".jax_cache_cpu_{_host_cpu_tag()}"
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
 def test_plot_logs_renders(tmp_path):
     from focalnet_tpu.utils.plot_logs import plot_logs
 
