@@ -183,18 +183,30 @@ def main(args):
         infer(seq_model, params, args.input, args.result_dir,
               factor=args.pad_factor, batch_size=batch, mesh=mesh)
     elif args.mode == "convert":
-        # migration path for reference users: torch .pkl (model.pkl /
-        # model_N.pkl / Best.pkl, ``ITS/train.py:110-131``) -> an Orbax
-        # checkpoint dir usable as --test_model / --resume source
+        # checkpoint migration, BOTH directions:
+        #   --input <reference .pkl>  -> Orbax dir at --test_model
+        #     (torch model.pkl / model_N.pkl / Best.pkl, ITS/train.py:110-131)
+        #   --input <Orbax ckpt dir>  -> reference-format .pkl at --output
+        #     (loadable by ITS/eval.py:16-17 unchanged)
         if not args.input:
             raise SystemExit(
-                "error: --mode convert requires --input <reference .pkl>"
+                "error: --mode convert requires --input "
+                "<reference .pkl | Orbax checkpoint dir>"
             )
         import jax
         import jax.numpy as jnp
 
         from focalnet_tpu.train.checkpoint import CheckpointManager
         from focalnet_tpu.utils.convert import load_torch_checkpoint
+
+        if os.path.isdir(args.input):
+            from focalnet_tpu.train import load_params
+            from focalnet_tpu.utils.convert import save_torch_checkpoint
+
+            out = args.output or args.input.rstrip("/") + ".pkl"
+            save_torch_checkpoint(out, load_params(args.input))
+            print(f"Converted {args.input} -> {out} (reference-format .pkl)")
+            return
 
         template = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0)},
@@ -225,7 +237,11 @@ def parse_args(argv=None):
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "test", "infer", "convert"])
     p.add_argument("--input", type=str, default="",
-                   help="image file or directory for --mode infer")
+                   help="image file or directory for --mode infer; source "
+                        "checkpoint (.pkl or Orbax dir) for --mode convert")
+    p.add_argument("--output", type=str, default="",
+                   help="--mode convert with an Orbax-dir input: destination "
+                        ".pkl path (default <input>.pkl)")
     p.add_argument("--data_dir", type=str, default="dataset/ITS")
     # train (defaults = ``main.py:71-78``)
     p.add_argument("--batch_size", type=int, default=4)

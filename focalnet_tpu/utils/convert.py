@@ -177,6 +177,59 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], flax_params: Any):
     return new_params, {"missing": missing, "unused": unused}
 
 
+_INVERSE_TRANSFORMS = {
+    # inverse layout rules of _TRANSFORMS (see module docstring)
+    "conv": lambda w: np.transpose(w, (3, 2, 0, 1)),
+    "conv_t": lambda w: np.transpose(w, (2, 3, 0, 1))[:, :, ::-1, ::-1],
+    "dense": np.transpose,
+    "norm_scale": lambda w: w,
+    "plain": lambda w: w,
+}
+
+
+def to_torch_state_dict(flax_params: Any) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_state_dict`: flax param pytree -> reference
+    torch state dict (numpy values, reference layouts).
+
+    Together with ``convert_state_dict`` this makes checkpoints portable in
+    BOTH directions: weights trained here can be loaded by the reference's
+    ``ITS/eval.py:16-17`` (``state_dict['model']``) unchanged.  Uses the same
+    ``_translate`` name map as the forward direction, so any key the forward
+    converter can consume, this emits.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    sd: Dict[str, np.ndarray] = {}
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        if path and path[0] == "params":
+            path = path[1:]
+        torch_key, kind = _translate(path)
+        if torch_key in sd:
+            raise ValueError(
+                f"two flax leaves map to the same torch key {torch_key!r} "
+                f"(second: {'.'.join(path)})"
+            )
+        w = _INVERSE_TRANSFORMS[kind](np.asarray(leaf, dtype=np.float32))
+        # fresh C-contiguous, writable copy (jax array buffers are read-only,
+        # which torch.from_numpy warns about)
+        sd[torch_key] = np.array(w, order="C")
+    return sd
+
+
+def save_torch_checkpoint(path: str, flax_params: Any, epoch: int = 0):
+    """Write ``flax_params`` as a reference-format ``.pkl``:
+    ``{'model': state_dict, 'epoch': epoch}`` — the rolling-checkpoint shape
+    at ``ITS/train.py:110-113`` (eval loads ``state_dict['model']``,
+    ``ITS/eval.py:16-17``, so Best/Final consumers work too).  Requires torch
+    (CPU build is enough)."""
+    import torch
+
+    sd = {k: torch.from_numpy(v) for k, v in to_torch_state_dict(flax_params).items()}
+    torch.save({"model": sd, "epoch": epoch}, path)
+
+
 def load_torch_checkpoint(path: str, flax_params: Any):
     """Load a reference ``.pkl`` checkpoint file and convert it.
 

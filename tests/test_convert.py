@@ -200,3 +200,60 @@ def test_cli_mode_convert(tmp_path):
     loaded = load_params(out)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_to_torch_state_dict_round_trip():
+    """Library inverse (flax -> torch layouts) feeds convert_state_dict back
+    to exact recovery; key set covers every leaf with nothing unused."""
+    from focalnet_tpu.utils.convert import to_torch_state_dict
+
+    model = build_net("1mlp", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(3)}, jnp.zeros((1, 32, 32, 3))
+    )
+    sd = to_torch_state_dict(params)
+    converted, report = convert_state_dict(sd, params)
+    assert report["missing"] == [] and report["unused"] == []
+    for (ka, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(converted)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+
+
+def test_cli_mode_convert_to_torch(tmp_path):
+    """`--mode convert --input <Orbax dir>` writes a reference-format .pkl
+    (the jax->torch export direction: reference users can take weights
+    trained here back to ITS/eval.py)."""
+    import torch
+
+    from focalnet_tpu.main import main, parse_args
+    from focalnet_tpu.train.checkpoint import CheckpointManager
+    from focalnet_tpu.utils.convert import load_torch_checkpoint
+
+    model = build_net("1mlp_g2", scan_backend="chunked", vssg_dim=16,
+                      ssm_d_state=4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(5)}, jnp.zeros((1, 32, 32, 3))
+    )
+    ckpt = CheckpointManager(str(tmp_path / "weights"), async_save=False)
+    ckpt._save("Best", {"params": params})
+    ckpt.wait()
+
+    pkl = str(tmp_path / "exported.pkl")
+    main(parse_args([
+        "--mode", "convert", "--input", str(tmp_path / "weights" / "Best"),
+        "--output", pkl,
+        "--vssg_dim", "16", "--ssm_d_state", "4",
+        "--scan_backend", "chunked",
+        "--model_save_dir", str(tmp_path / "weights"),
+        "--result_dir", str(tmp_path / "results"),
+    ]))
+    obj = torch.load(pkl, map_location="cpu", weights_only=False)
+    assert set(obj) == {"model", "epoch"}
+    # and the pkl is consumable by the forward converter (full cycle)
+    back, report = load_torch_checkpoint(pkl, params)
+    assert report["missing"] == [] and report["unused"] == []
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
