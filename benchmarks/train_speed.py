@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--trace", type=str, default="")
     p.add_argument("--preset", type=str, default="1mlp_g2")
     p.add_argument("--proj_dtype", type=str, default="")
+    p.add_argument("--compute_dtype", type=str, default="",
+                   help="e.g. bfloat16 — the CLI's --compute_dtype (scan "
+                        "state stays fp32 by design)")
     args = p.parse_args(argv)
 
     import jax
@@ -46,6 +49,8 @@ def main(argv=None):
     overrides = {}
     if args.proj_dtype:
         overrides["ssm_proj_dtype"] = args.proj_dtype
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
     model = build_net(args.preset, **overrides)
     cfg = TrainConfig(batch_size=args.batch)
     tx = make_optimizer(cfg)

@@ -31,8 +31,117 @@ def _list_images(path: str) -> List[str]:
     )
 
 
+def _pipeline(items, decode_fn, run_fn, save_cap: int):
+    """Decode-ahead / encode-behind host-IO pipeline: one thread decodes the
+    NEXT item and one thread PNG-encodes previous outputs while ``run_fn``
+    drives the device on the current one — the serving loop never idles on
+    disk.  ``run_fn(decoded, saver)`` submits writes via ``saver.submit``;
+    the encode queue is BACKPRESSURED at ``save_cap`` pending writes (each
+    pins a full-res prediction in RAM) so errors also surface near their
+    cause rather than at the end."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    save_futs = []
+
+    class _Saver:
+        def __init__(self, ex, max_pending):
+            self.ex = ex
+            self.max_pending = max(2, max_pending)
+
+        def submit(self, *a):
+            save_futs.append(self.ex.submit(*a))
+            while len(save_futs) > self.max_pending:
+                save_futs.pop(0).result()
+
+    with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as saver:
+        sv = _Saver(saver, save_cap)
+        pending = None
+        for it in items:
+            nxt = loader.submit(decode_fn, it)
+            if pending is not None:
+                run_fn(pending.result(), sv)
+            pending = nxt
+        if pending is not None:
+            run_fn(pending.result(), sv)
+    for f in save_futs:  # surface any encode/write error
+        f.result()
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> List[int]:
+    """Top/left tile offsets covering ``[0, size)`` with the given stride;
+    the last tile is clamped flush to the end."""
+    if size <= tile:
+        return [0]
+    starts = list(range(0, size - tile + 1, stride))
+    if starts[-1] != size - tile:
+        starts.append(size - tile)
+    return starts
+
+
+def _tile_weights(tile: int, overlap: int) -> np.ndarray:
+    """(tile, tile, 1) feathered blend weights: 1 in the interior, a linear
+    ramp down across the ``overlap`` margin on every side.  Overlapping tile
+    outputs are averaged under these weights (sum normalized), so seams fade
+    linearly instead of stepping; where only one tile covers a pixel the
+    normalization makes the weight exactly 1."""
+    r = np.minimum(np.arange(1, tile + 1), np.arange(tile, 0, -1))
+    w1 = np.minimum(r / float(overlap + 1), 1.0).astype(np.float32)
+    return (w1[:, None] * w1[None, :])[..., None]
+
+
+def _pad_to_min(img: np.ndarray, min_h: int, min_w: int) -> np.ndarray:
+    """Reflect-pad (H, W, C) on the bottom/right up to at least (min_h,
+    min_w), in steps (np.pad 'reflect' caps each step at size-1; a size-1
+    dim falls back to edge replication — reflect is undefined there)."""
+    while img.shape[0] < min_h or img.shape[1] < min_w:
+        ph = min(min_h - img.shape[0], max(img.shape[0] - 1, 1)) if img.shape[0] < min_h else 0
+        pw = min(min_w - img.shape[1], max(img.shape[1] - 1, 1)) if img.shape[1] < min_w else 0
+        mode = "reflect" if min(img.shape[0], img.shape[1]) > 1 else "edge"
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
+    return img
+
+
+def tiled_forward(fwd_batch, img: np.ndarray, tile: int, overlap: int,
+                  batch_size: int = 1) -> np.ndarray:
+    """Dehaze ``img`` (H, W, C; H, W >= tile) as overlapping (tile, tile)
+    crops forwarded through ``fwd_batch`` ((batch_size, tile, tile, C) ->
+    same-shape predictions), feather-blended back together.
+
+    This is chop-based restoration inference: every image size runs through
+    ONE compiled (batch_size, tile, tile, C) executable, and device memory is
+    bounded by the tile size rather than the image size.  The SS2D scans see
+    one tile of context instead of the whole image, so outputs differ from
+    the whole-image forward near tile interiors — opt-in for serving; the
+    eval/validation protocols (``ITS/eval.py:33-37``) keep whole-image
+    forwards.
+    """
+    H, W, _ = img.shape
+    stride = tile - overlap
+    coords = [
+        (y, x)
+        for y in _tile_starts(H, tile, stride)
+        for x in _tile_starts(W, tile, stride)
+    ]
+    wtile = _tile_weights(tile, overlap)
+    out = np.zeros(img.shape, np.float32)
+    wsum = np.zeros((H, W, 1), np.float32)
+    for i in range(0, len(coords), batch_size):
+        group = coords[i : i + batch_size]
+        stack = np.stack([img[y : y + tile, x : x + tile] for y, x in group])
+        if len(group) < batch_size:
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], batch_size - len(group), 0)]
+            )
+        preds = np.asarray(fwd_batch(stack))[: len(group)]
+        for pred, (y, x) in zip(preds, group):
+            out[y : y + tile, x : x + tile] += pred * wtile
+            wsum[y : y + tile, x : x + tile] += wtile
+    return out / wsum
+
+
 def infer(model, params, input_path: str, result_dir: str,
-          factor: int = 32, batch_size: int = 1, mesh=None) -> dict:
+          factor: int = 32, batch_size: int = 1, mesh=None,
+          tile: int = 0, tile_overlap: int = 32) -> dict:
     """Dehaze every image under ``input_path`` into ``result_dir``.
 
     ``batch_size > 1`` batches same-padded-shape images into one device
@@ -56,6 +165,15 @@ def infer(model, params, input_path: str, result_dir: str,
     ``batch_size`` divisible by the data-axis size.  Composes with a dp×sp
     mesh when the model was built with ``seq_mesh`` (the SS2D scans then
     shard L over ``seq`` inside each data shard).
+
+    ``tile`` (multiple of 32, 0 = off): chop-based inference — every image
+    is processed as overlapping (tile, tile) crops, feather-blended over
+    ``tile_overlap`` pixels (:func:`tiled_forward`).  ONE executable serves
+    every image size (vs one compile per distinct padded shape — ~1 min each
+    through a slow link) and device memory is bounded by the tile, at the
+    price of tile-local scan context (outputs near seams differ slightly
+    from the whole-image forward).  ``batch_size`` then batches TILES, and
+    ``mesh`` shards tile batches.
     """
     from focalnet_tpu.data.reside import _load_image
 
@@ -90,6 +208,36 @@ def infer(model, params, input_path: str, result_dir: str,
 
     time_adder = Adder()
 
+    def save(pred, path, h, w):
+        pred = np.clip(pred[:h, :w], 0.0, 1.0)
+        save_image(pred, os.path.join(result_dir, os.path.basename(path)))
+
+    if tile:
+        if tile % 32:
+            raise ValueError(f"--tile must be a multiple of 32, got {tile}")
+        if not 0 <= tile_overlap < tile:
+            raise ValueError(
+                f"--tile_overlap must be in [0, tile), got {tile_overlap}"
+            )
+        bs = max(batch_size, 1)
+
+        def decode_one(path):
+            img = _load_image(path)  # (H, W, 3) float32 in [0, 1]
+            h, w = img.shape[:2]
+            return path, _pad_to_min(img, tile, tile), h, w
+
+        def run_tiled(item, saver):
+            path, img, h, w = item
+            tm = time.time()
+            pred = tiled_forward(fwd, img, tile, tile_overlap, bs)
+            time_adder(time.time() - tm)
+            saver.submit(save, pred, path, h, w)
+
+        _pipeline(files, decode_one, run_tiled, save_cap=4)
+        print("Dehazed %d images -> %s (avg %.3fs/img)" % (
+            len(files), result_dir, time_adder.average()))
+        return {"count": len(files), "avg_time": time_adder.average()}
+
     if batch_size <= 1:
         path_batches = [[p] for p in files]
     else:
@@ -120,10 +268,6 @@ def infer(model, params, input_path: str, result_dir: str,
             batch.append((path, padded, h, w))
         return batch
 
-    def save(pred, path, h, w):
-        pred = np.clip(pred[:h, :w], 0.0, 1.0)
-        save_image(pred, os.path.join(result_dir, os.path.basename(path)))
-
     def run(batch, saver):
         """batch: list of (path, padded, h, w) with identical padded shapes."""
         n = len(batch)
@@ -135,41 +279,7 @@ def infer(model, params, input_path: str, result_dir: str,
         for pred, (path, _, h, w) in zip(preds, batch):
             saver.submit(save, pred, path, h, w)
 
-    # pipeline host IO around the device: one thread decodes the NEXT batch
-    # and one thread PNG-encodes the previous outputs while the device runs
-    # the current forward (the serving loop never idles on disk)
-    from concurrent.futures import ThreadPoolExecutor
-
-    save_futs = []
-
-    class _Saver:
-        """Encode queue with BACKPRESSURE: at most ~2 batches of encodes may
-        be outstanding (each pending future pins a full-res prediction in
-        RAM — unbounded, a long directory with slow PNG encode would grow
-        the queue without limit).  Waiting on the oldest also surfaces
-        encode/write errors near where they happen instead of at the end."""
-
-        def __init__(self, ex, max_pending):
-            self.ex = ex
-            self.max_pending = max(2, max_pending)
-
-        def submit(self, *a):
-            save_futs.append(self.ex.submit(*a))
-            while len(save_futs) > self.max_pending:
-                save_futs.pop(0).result()
-
-    with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as saver:
-        sv = _Saver(saver, 2 * max(batch_size, 1))
-        pending = None
-        for paths in path_batches:
-            nxt = loader.submit(decode, paths)
-            if pending is not None:
-                run(pending.result(), sv)
-            pending = nxt
-        if pending is not None:
-            run(pending.result(), sv)
-    for f in save_futs:  # surface any encode/write error
-        f.result()
+    _pipeline(path_batches, decode, run, save_cap=2 * max(batch_size, 1))
 
     print("Dehazed %d images -> %s (avg %.3fs/img)" % (
         len(files), result_dir, time_adder.average()))

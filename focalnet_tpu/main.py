@@ -181,7 +181,8 @@ def main(args):
             print(f"note: --valid_batch raised to {batch} (one image per "
                   f"'data'-axis device of --mesh_shape {args.mesh_shape})")
         infer(seq_model, params, args.input, args.result_dir,
-              factor=args.pad_factor, batch_size=batch, mesh=mesh)
+              factor=args.pad_factor, batch_size=batch, mesh=mesh,
+              tile=args.tile, tile_overlap=args.tile_overlap)
     elif args.mode == "convert":
         # checkpoint migration, BOTH directions:
         #   --input <reference .pkl>  -> Orbax dir at --test_model
@@ -269,6 +270,18 @@ def parse_args(argv=None):
                         "compile); outputs can differ marginally near borders "
                         "(more reflect context). Eval/validation stay at the "
                         "reference's /32 protocol")
+    p.add_argument("--tile", type=int, default=0,
+                   help="--mode infer only: chop-based inference — process "
+                        "every image as overlapping (tile, tile) crops "
+                        "(multiple of 32; 0 = whole-image). ONE compiled "
+                        "executable serves all image sizes and device memory "
+                        "is bounded by the tile; scans see tile-local "
+                        "context, so outputs differ slightly from the "
+                        "whole-image forward. --valid_batch then batches "
+                        "tiles")
+    p.add_argument("--tile_overlap", type=int, default=32,
+                   help="overlap in pixels between adjacent --tile crops, "
+                        "feather-blended (default 32)")
     p.add_argument("--valid_batch", type=int, default=1,
                    help=">1 batches same-size images per forward during "
                         "validation and --mode infer (same outputs; the "

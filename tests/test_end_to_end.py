@@ -227,3 +227,57 @@ def test_cli_train_dp_sp(tmp_path):
     ])
     main(args)
     assert os.path.isdir(os.path.join(save_dir, "Best"))
+
+
+def test_tiled_forward_assembly_exact():
+    """The tile splitter/blender alone: with an identity forward, overlapping
+    feather-blended tiles must reassemble the input EXACTLY (the weighted
+    average of identical values is the value), for both overlap and
+    no-overlap plans and for clamped last-tile positions."""
+    from focalnet_tpu.evaluation import tiled_forward
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(96, 80, 3).astype(np.float32)  # 80 forces a clamped tile
+    for overlap in (0, 16):
+        for bs in (1, 3):
+            out = tiled_forward(lambda x: x, img, 32, overlap, bs)
+            np.testing.assert_allclose(out, img, rtol=0, atol=1e-6)
+
+
+def test_infer_tile_mode(tiny_setup, tmp_path):
+    """--tile chop inference: a tile-sized image reproduces the whole-image
+    forward exactly (single tile); larger/odd sizes come back at original
+    dims through one (bs, tile, tile, 3) executable."""
+    from PIL import Image
+
+    from focalnet_tpu.evaluation import infer
+
+    model, cfg, root = tiny_setup
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+
+    src = tmp_path / "mixed_tile"
+    src.mkdir()
+    rng = np.random.RandomState(2)
+    sizes = [(32, 32), (64, 96), (40, 50)]
+    for i, (h, w) in enumerate(sizes):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(src / f"img{i}.png")
+
+    out_whole, out_tile = str(tmp_path / "whole"), str(tmp_path / "tiled")
+    infer(model, params, str(src), out_whole, batch_size=1)
+    res = infer(model, params, str(src), out_tile, tile=32, tile_overlap=16,
+                batch_size=2)
+    assert res["count"] == 3
+    for i, (h, w) in enumerate(sizes):
+        im = np.asarray(Image.open(os.path.join(out_tile, f"img{i}.png")))
+        assert im.shape == (h, w, 3)
+    # the 32x32 image is a single 32x32 tile == the whole-image forward
+    a = np.asarray(Image.open(os.path.join(out_whole, "img0.png"))).astype(np.int16)
+    b = np.asarray(Image.open(os.path.join(out_tile, "img0.png"))).astype(np.int16)
+    assert np.max(np.abs(a - b)) <= 1
+
+    # invalid tile geometry is rejected
+    with pytest.raises(ValueError):
+        infer(model, params, str(src), out_tile, tile=40)
+    with pytest.raises(ValueError):
+        infer(model, params, str(src), out_tile, tile=32, tile_overlap=32)
