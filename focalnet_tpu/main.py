@@ -183,6 +183,21 @@ def main(args):
         infer(seq_model, params, args.input, args.result_dir,
               factor=args.pad_factor, batch_size=batch, mesh=mesh,
               tile=args.tile, tile_overlap=args.tile_overlap)
+    elif args.mode == "serve":
+        # resident serving loop: pay the compile/executable-load cost once,
+        # then answer stdin requests at device speed (evaluation/serve.py)
+        from focalnet_tpu.evaluation import serve
+        from focalnet_tpu.train import load_params
+
+        params = load_params(args.test_model)
+        warm = []
+        if args.warm_shapes:
+            for tok in args.warm_shapes.split(","):
+                h, _, w = tok.lower().partition("x")
+                warm.append((int(h), int(w)))
+        serve(model, params, args.result_dir, factor=args.pad_factor,
+              tile=args.tile, tile_overlap=args.tile_overlap,
+              batch_size=args.valid_batch, warm_shapes=warm)
     elif args.mode == "convert":
         # checkpoint migration, BOTH directions:
         #   --input <reference .pkl>  -> Orbax dir at --test_model
@@ -236,7 +251,7 @@ def parse_args(argv=None):
     p.add_argument("--preset", type=str, default="1mlp_g2",
                    choices=["baseline", "1mlp", "1mlp_g2", "1mlp_g4"])
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "test", "infer", "convert"])
+                   choices=["train", "test", "infer", "serve", "convert"])
     p.add_argument("--input", type=str, default="",
                    help="image file or directory for --mode infer; source "
                         "checkpoint (.pkl or Orbax dir) for --mode convert")
@@ -282,6 +297,10 @@ def parse_args(argv=None):
     p.add_argument("--tile_overlap", type=int, default=32,
                    help="overlap in pixels between adjacent --tile crops, "
                         "feather-blended (default 32)")
+    p.add_argument("--warm_shapes", type=str, default="",
+                   help="--mode serve: comma list of HxW input sizes (e.g. "
+                        "480x640,720x1280) whose whole-image forwards are "
+                        "compiled before READY")
     p.add_argument("--valid_batch", type=int, default=1,
                    help=">1 batches same-size images per forward during "
                         "validation and --mode infer (same outputs; the "

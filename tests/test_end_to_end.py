@@ -281,3 +281,65 @@ def test_infer_tile_mode(tiny_setup, tmp_path):
         infer(model, params, str(src), out_tile, tile=40)
     with pytest.raises(ValueError):
         infer(model, params, str(src), out_tile, tile=32, tile_overlap=32)
+
+
+def test_serve_mode(tiny_setup, tmp_path):
+    """--mode serve line protocol: READY first, OK per request (default and
+    explicit output paths), ERR keeps the loop serving, empty line exits."""
+    import io
+
+    from focalnet_tpu.evaluation import serve
+
+    model, cfg, root = tiny_setup
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+    hazy_dir = os.path.join(cfg.data_dir, "test", "hazy")
+    imgs = sorted(os.listdir(hazy_dir))
+    out_dir = str(tmp_path / "served")
+    custom = str(tmp_path / "custom.png")
+    req = "\n".join([
+        os.path.join(hazy_dir, imgs[0]),
+        os.path.join(hazy_dir, imgs[1]) + "\t" + custom,
+        "/nonexistent/img.png",
+        "",  # empty line = shutdown
+        os.path.join(hazy_dir, imgs[0]),  # must NOT be served
+    ]) + "\n"
+    out = io.StringIO()
+    res = serve(model, params, out_dir, warm_shapes=[(32, 32)],
+                inp=io.StringIO(req), out=out)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0] == "READY"
+    assert lines[1] == "OK\t" + os.path.join(out_dir, imgs[0])
+    assert lines[2] == "OK\t" + custom
+    assert lines[3].startswith("ERR\t") and len(lines) == 4
+    assert res["count"] == 2
+    assert os.path.isfile(os.path.join(out_dir, imgs[0]))
+    assert os.path.isfile(custom)
+
+
+def test_serve_mode_tiled_matches_infer(tiny_setup, tmp_path):
+    """serve --tile warms its single executable before READY and produces
+    byte-identical outputs to infer's tile mode."""
+    import io
+
+    from PIL import Image
+
+    from focalnet_tpu.evaluation import infer, serve
+
+    model, cfg, root = tiny_setup
+    params = load_params(os.path.join(cfg.model_save_dir, "Best"))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rng = np.random.RandomState(5)
+    Image.fromarray((rng.rand(48, 72, 3) * 255).astype(np.uint8)).save(
+        src / "odd.png")
+
+    out_infer, out_serve = str(tmp_path / "via_infer"), str(tmp_path / "via_serve")
+    infer(model, params, str(src), out_infer, tile=32, tile_overlap=8)
+    out = io.StringIO()
+    serve(model, params, out_serve, tile=32, tile_overlap=8,
+          inp=io.StringIO(str(src / "odd.png") + "\n"), out=out)
+    assert out.getvalue().splitlines()[0] == "READY"
+    a = np.asarray(Image.open(os.path.join(out_infer, "odd.png")))
+    b = np.asarray(Image.open(os.path.join(out_serve, "odd.png")))
+    np.testing.assert_array_equal(a, b)
