@@ -66,6 +66,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+    if hasattr(lib, "fnl_decode_image_u8"):  # absent in older .so builds
+        lib.fnl_decode_image_u8.restype = ctypes.c_int
+        lib.fnl_decode_image_u8.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
     _lib = lib
     return lib
 
@@ -87,6 +94,24 @@ def decode_image(path: str, max_h: int = 4096, max_w: int = 4096) -> np.ndarray:
     )
     if rc != 0:
         raise IOError(f"native decode failed ({rc}): {path}")
+    return buf.reshape(-1)[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_image_u8(path: str, max_h: int = 4096, max_w: int = 4096) -> np.ndarray:
+    """Decode one image to uint8 RGB (H, W, 3) via the C++ path — the serving
+    upload format (device-side x/255 normalization; see ``fnl_decode_image_u8``
+    in loader.cpp)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fnl_decode_image_u8"):
+        raise RuntimeError("native u8 decode unavailable")
+    buf = np.empty((max_h, max_w, 3), np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.fnl_decode_image_u8(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_h, max_w, ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise IOError(f"native u8 decode failed ({rc}): {path}")
     return buf.reshape(-1)[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
 
 

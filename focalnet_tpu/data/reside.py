@@ -52,6 +52,25 @@ def _load_image(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
 
 
+def _load_image_u8(path: str) -> np.ndarray:
+    """uint8 RGB (H, W, 3) — the serving upload format.  Inference paths ship
+    uint8 to the device and normalize there with the same fp32 ``x / 255``
+    (4x less host->device traffic, bit-identical results; infer.py).  Decoded
+    bytes are identical to :func:`_load_image`'s pre-normalization pixels on
+    both the native and PIL paths."""
+    from focalnet_tpu.data import native_loader
+
+    if native_loader.native_available():
+        try:
+            return native_loader.decode_image_u8(path)
+        except (IOError, RuntimeError):
+            pass  # stale .so without the symbol, oversized image, ...
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 class ResideDataset:
     """Paired hazy/GT dataset with the RESIDE pairing rule."""
 

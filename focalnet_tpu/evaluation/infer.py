@@ -102,7 +102,7 @@ def _pad_to_min(img: np.ndarray, min_h: int, min_w: int) -> np.ndarray:
 
 
 def tiled_forward(fwd_batch, img: np.ndarray, tile: int, overlap: int,
-                  batch_size: int = 1) -> np.ndarray:
+                  batch_size: int = 1, inflight: int = 4) -> np.ndarray:
     """Dehaze ``img`` (H, W, C; H, W >= tile) as overlapping (tile, tile)
     crops forwarded through ``fwd_batch`` ((batch_size, tile, tile, C) ->
     same-shape predictions), feather-blended back together.
@@ -114,7 +114,16 @@ def tiled_forward(fwd_batch, img: np.ndarray, tile: int, overlap: int,
     the whole-image forward near tile interiors — opt-in for serving; the
     eval/validation protocols (``ITS/eval.py:33-37``) keep whole-image
     forwards.
+
+    ``inflight`` tile batches are kept dispatched-but-unmaterialized (JAX
+    dispatch is async): the device computes ahead while the host blends and
+    — through a high-latency device link — the per-batch round trips of up
+    to ``inflight`` batches overlap instead of paying RTT serially.  Blending
+    stays FIFO, so outputs are bit-identical to ``inflight=0``; device-side
+    live memory is bounded by ``inflight + 1`` tile batches.
     """
+    from collections import deque
+
     H, W, _ = img.shape
     stride = tile - overlap
     coords = [
@@ -125,6 +134,14 @@ def tiled_forward(fwd_batch, img: np.ndarray, tile: int, overlap: int,
     wtile = _tile_weights(tile, overlap)
     out = np.zeros(img.shape, np.float32)
     wsum = np.zeros((H, W, 1), np.float32)
+    pending: deque = deque()
+
+    def blend(preds_dev, group):
+        preds = np.asarray(preds_dev)[: len(group)]
+        for pred, (y, x) in zip(preds, group):
+            out[y : y + tile, x : x + tile] += pred * wtile
+            wsum[y : y + tile, x : x + tile] += wtile
+
     for i in range(0, len(coords), batch_size):
         group = coords[i : i + batch_size]
         stack = np.stack([img[y : y + tile, x : x + tile] for y, x in group])
@@ -132,10 +149,11 @@ def tiled_forward(fwd_batch, img: np.ndarray, tile: int, overlap: int,
             stack = np.concatenate(
                 [stack, np.repeat(stack[-1:], batch_size - len(group), 0)]
             )
-        preds = np.asarray(fwd_batch(stack))[: len(group)]
-        for pred, (y, x) in zip(preds, group):
-            out[y : y + tile, x : x + tile] += pred * wtile
-            wsum[y : y + tile, x : x + tile] += wtile
+        pending.append((fwd_batch(stack), group))
+        while len(pending) > max(inflight, 0):
+            blend(*pending.popleft())
+    while pending:
+        blend(*pending.popleft())
     return out / wsum
 
 
@@ -175,9 +193,20 @@ def infer(model, params, input_path: str, result_dir: str,
     from the whole-image forward).  ``batch_size`` then batches TILES, and
     ``mesh`` shards tile batches.
     """
-    from focalnet_tpu.data.reside import _load_image
+    from focalnet_tpu.data.reside import _load_image_u8
 
     os.makedirs(result_dir, exist_ok=True)
+
+    # images are shipped to the device as uint8 and normalized there: the
+    # fp32 x/255 is bit-identical to the host-side decode-to-float, at 1/4
+    # the host->device transfer volume (the serving bottleneck over slow
+    # links; BASELINE.md tunnel rows)
+    def _apply(x):
+        import jax.numpy as jnp
+
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        return model.apply(params, x)[2]
 
     if mesh is not None and mesh.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -192,15 +221,9 @@ def infer(model, params, input_path: str, result_dir: str,
             )
         shard = NamedSharding(mesh, PartitionSpec("data"))
 
-        fwd = jax.jit(
-            lambda x: model.apply(params, x)[2],
-            in_shardings=shard, out_shardings=shard,
-        )
+        fwd = jax.jit(_apply, in_shardings=shard, out_shardings=shard)
     else:
-
-        @jax.jit
-        def fwd(x):
-            return model.apply(params, x)[2]
+        fwd = jax.jit(_apply)
 
     files = _list_images(input_path)
     if not files:
@@ -222,7 +245,7 @@ def infer(model, params, input_path: str, result_dir: str,
         bs = max(batch_size, 1)
 
         def decode_one(path):
-            img = _load_image(path)  # (H, W, 3) float32 in [0, 1]
+            img = _load_image_u8(path)  # (H, W, 3) uint8
             h, w = img.shape[:2]
             return path, _pad_to_min(img, tile, tile), h, w
 
@@ -264,7 +287,7 @@ def infer(model, params, input_path: str, result_dir: str,
     def decode(paths):
         batch = []
         for path in paths:
-            padded, (h, w) = pad_to_multiple(_load_image(path)[None], factor)
+            padded, (h, w) = pad_to_multiple(_load_image_u8(path)[None], factor)
             batch.append((path, padded, h, w))
         return batch
 

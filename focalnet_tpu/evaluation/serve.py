@@ -49,13 +49,22 @@ def serve(model, params, result_dir: str, factor: int = 32,
     forwards for known input sizes before READY.  ``inp``/``out`` default to
     stdin/stdout (injectable for tests).
     """
-    from focalnet_tpu.data.reside import _load_image
+    from focalnet_tpu.data.reside import _load_image_u8
 
     inp = inp if inp is not None else sys.stdin
     out = out if out is not None else sys.stdout
     os.makedirs(result_dir, exist_ok=True)
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x)[2])
+    # uint8 upload + on-device fp32 x/255 — bit-identical to host-side float
+    # decode at 1/4 the host->device traffic (see infer.py)
+    def _apply(p, x):
+        import jax.numpy as jnp
+
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        return model.apply(p, x)[2]
+
+    fwd = jax.jit(_apply)
 
     def respond(*fields):
         out.write("\t".join(fields) + "\n")
@@ -68,12 +77,13 @@ def serve(model, params, result_dir: str, factor: int = 32,
             raise ValueError(f"tile_overlap must be in [0, tile), got {tile_overlap}")
         bs = max(batch_size, 1)
         tile_fwd = lambda x: fwd(params, x)
-        # warm the one-and-only executable before declaring READY
-        np.asarray(tile_fwd(np.zeros((bs, tile, tile, 3), np.float32)))
+        # warm the one-and-only executable before declaring READY (uint8
+        # input signature — the dtype requests see)
+        np.asarray(tile_fwd(np.zeros((bs, tile, tile, 3), np.uint8)))
     for h, w in warm_shapes or []:
         padded = (-(-h // factor) * factor if h % factor else h,
                   -(-w // factor) * factor if w % factor else w)
-        np.asarray(fwd(params, np.zeros((1, *padded, 3), np.float32)))
+        np.asarray(fwd(params, np.zeros((1, *padded, 3), np.uint8)))
 
     respond("READY")
     served, time_adder = 0, Adder()
@@ -85,7 +95,7 @@ def serve(model, params, result_dir: str, factor: int = 32,
         if not dst:
             dst = os.path.join(result_dir, os.path.basename(src))
         try:
-            img = _load_image(src)  # (H, W, 3) float32 in [0, 1]
+            img = _load_image_u8(src)  # (H, W, 3) uint8
             h, w = img.shape[:2]
             tm = time.time()
             if tile:

@@ -215,6 +215,21 @@ int fnl_decode_image(const char* path, float* out, int max_h, int max_w,
   return 0;
 }
 
+// Decode one image to uint8 RGB — the serving upload path: pixels go to the
+// device as uint8 (4x less host->device traffic than float32) and the
+// jitted forward normalizes on-device with the same fp32 x/255, so results
+// are bit-identical to the float path (see evaluation/infer.py).
+int fnl_decode_image_u8(const char* path, uint8_t* out, int max_h, int max_w,
+                        int* out_h, int* out_w) {
+  ImageU8 img;
+  if (!decode_file(path, &img)) return -1;
+  if (img.h > max_h || img.w > max_w) return -2;
+  std::memcpy(out, img.data.data(), img.data.size());
+  *out_h = img.h;
+  *out_w = img.w;
+  return 0;
+}
+
 // Encode uint8 RGB (h, w, 3) to a PNG file.  level: zlib compression 0-9
 // (1 = fast, the serving default — PNG is lossless at every level, so the
 // decoded pixels are identical; only file size/speed differ).

@@ -124,3 +124,28 @@ def test_save_image_native_matches_pil(tmp_path):
     a = np.asarray(Image.open(p_nat))
     b = np.asarray(Image.open(p_pil))
     np.testing.assert_array_equal(a, b)
+
+
+def test_u8_decode_matches_float_decode(tmp_path):
+    """The uint8 serving-upload decode (_load_image_u8, native + PIL paths)
+    returns exactly the pre-normalization pixels of _load_image: u8/255 in
+    fp32 reproduces the float path bit-for-bit, so shipping uint8 to the
+    device (4x less transfer) changes nothing downstream."""
+    from PIL import Image
+
+    from focalnet_tpu.data.reside import _load_image, _load_image_u8
+    from focalnet_tpu.data import native_loader
+
+    rng = np.random.RandomState(5)
+    u8 = (rng.rand(41, 57, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(u8).save(p)
+
+    got_u8 = _load_image_u8(p)
+    assert got_u8.dtype == np.uint8
+    np.testing.assert_array_equal(got_u8, u8)
+    # fp32 normalize of the u8 path == the float decode, bitwise
+    np.testing.assert_array_equal(
+        got_u8.astype(np.float32) / 255.0, _load_image(p))
+    if native_loader.native_available():
+        np.testing.assert_array_equal(native_loader.decode_image_u8(p), u8)
