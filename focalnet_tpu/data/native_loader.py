@@ -37,11 +37,17 @@ def _build_lib() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    Always invokes ``make`` (a no-op when the .so is current) so a stale
+    pre-change library is rebuilt when loader.cpp grows new symbols —
+    otherwise e.g. ``fnl_decode_image_u8`` would silently never activate
+    (ADVICE r3).
+    """
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build_lib():
+    if not _build_lib() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

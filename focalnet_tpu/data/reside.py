@@ -54,8 +54,10 @@ def _load_image(path: str) -> np.ndarray:
 
 def _load_image_u8(path: str) -> np.ndarray:
     """uint8 RGB (H, W, 3) — the serving upload format.  Inference paths ship
-    uint8 to the device and normalize there with the same fp32 ``x / 255``
-    (4x less host->device traffic, bit-identical results; infer.py).  Decoded
+    uint8 to the device and normalize there with fp32 ``x / 255`` (4x less
+    host->device traffic; <=1 ulp vs the host float decode at model input —
+    XLA rewrites /255 into a reciprocal multiply, invisible after output
+    quantization; test_device_u8_normalize_within_1ulp).  Decoded
     bytes are identical to :func:`_load_image`'s pre-normalization pixels on
     both the native and PIL paths."""
     from focalnet_tpu.data import native_loader

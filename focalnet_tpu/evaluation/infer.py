@@ -198,9 +198,11 @@ def infer(model, params, input_path: str, result_dir: str,
     os.makedirs(result_dir, exist_ok=True)
 
     # images are shipped to the device as uint8 and normalized there: the
-    # fp32 x/255 is bit-identical to the host-side decode-to-float, at 1/4
-    # the host->device transfer volume (the serving bottleneck over slow
-    # links; BASELINE.md tunnel rows)
+    # jitted fp32 x/255 (XLA: reciprocal multiply) is within 1 ulp of the
+    # host-side decode-to-float at model input — invisible after the +0.5/255
+    # output quantization — at 1/4 the host->device transfer volume (the
+    # serving bottleneck over slow links; BASELINE.md tunnel rows,
+    # test_device_u8_normalize_within_1ulp)
     def _apply(x):
         import jax.numpy as jnp
 

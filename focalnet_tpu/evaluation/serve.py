@@ -55,7 +55,7 @@ def serve(model, params, result_dir: str, factor: int = 32,
     out = out if out is not None else sys.stdout
     os.makedirs(result_dir, exist_ok=True)
 
-    # uint8 upload + on-device fp32 x/255 — bit-identical to host-side float
+    # uint8 upload + on-device fp32 x/255 — <=1 ulp vs host-side float
     # decode at 1/4 the host->device traffic (see infer.py)
     def _apply(p, x):
         import jax.numpy as jnp

@@ -217,8 +217,9 @@ int fnl_decode_image(const char* path, float* out, int max_h, int max_w,
 
 // Decode one image to uint8 RGB — the serving upload path: pixels go to the
 // device as uint8 (4x less host->device traffic than float32) and the
-// jitted forward normalizes on-device with the same fp32 x/255, so results
-// are bit-identical to the float path (see evaluation/infer.py).
+// jitted forward normalizes on-device with fp32 x/255 (XLA compiles this as
+// a reciprocal multiply, so it lands within 1 ulp of the float path's true
+// division — invisible after output quantization; evaluation/infer.py).
 int fnl_decode_image_u8(const char* path, uint8_t* out, int max_h, int max_w,
                         int* out_h, int* out_w) {
   ImageU8 img;

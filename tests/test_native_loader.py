@@ -144,8 +144,31 @@ def test_u8_decode_matches_float_decode(tmp_path):
     got_u8 = _load_image_u8(p)
     assert got_u8.dtype == np.uint8
     np.testing.assert_array_equal(got_u8, u8)
-    # fp32 normalize of the u8 path == the float decode, bitwise
+    # fp32 normalize of the u8 path == the float decode, bitwise (HOST-side
+    # numpy true division; the on-device jitted x/255 may differ by 1 ulp —
+    # see test_device_u8_normalize_within_1ulp)
     np.testing.assert_array_equal(
         got_u8.astype(np.float32) / 255.0, _load_image(p))
-    if native_loader.native_available():
+    lib = native_loader.get_lib()
+    if lib is not None and hasattr(lib, "fnl_decode_image_u8"):
         np.testing.assert_array_equal(native_loader.decode_image_u8(p), u8)
+
+
+def test_device_u8_normalize_within_1ulp():
+    """The jitted on-device ``x.astype(f32) / 255.0`` is NOT bit-identical to
+    the host float decode: XLA rewrites division-by-constant into
+    multiplication by the reciprocal, putting 136/256 uint8 values 1 ulp off
+    (ADVICE r3).  Pin the envelope: every uint8 value lands within 1 ulp of
+    the host ``u8 / 255.0`` — invisible after the +0.5/255 PNG quantization
+    on output (a 1-ulp input wiggle cannot flip the rounding of an 8-bit
+    level except at exact .5 boundaries the model output never reproduces
+    bit-exactly anyway)."""
+    import jax
+    import jax.numpy as jnp
+
+    u8 = np.arange(256, dtype=np.uint8)
+    dev = np.asarray(jax.jit(lambda x: x.astype(jnp.float32) / 255.0)(u8))
+    host = u8.astype(np.float32) / 255.0
+    ulp = np.spacing(np.abs(host).astype(np.float32))
+    assert np.all(np.abs(dev - host) <= ulp), (
+        np.abs(dev - host) / np.maximum(ulp, 1e-45)).max()
