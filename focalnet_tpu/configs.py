@@ -69,6 +69,11 @@ class ModelConfig:
     # itself is passed to build_net(seq_mesh=...) — not serializable config.
     seq_axis: Any = None    # Optional[str]
     data_axis: Any = None   # Optional[str]
+    # tensor parallelism: shard the K*d_inner scan channels of every SS2D
+    # over this mesh axis (whole-group or sub-group, parallel/tp_scan.py).
+    # Mutually exclusive with seq_axis (both shard the same scan call);
+    # composes with data_axis on a dp x tp mesh.
+    tp_axis: Any = None     # Optional[str]
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

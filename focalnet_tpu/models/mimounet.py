@@ -73,6 +73,7 @@ class StageStack(nn.Module):
                     seq_mesh=self.seq_mesh,
                     seq_axis=c.seq_axis,
                     data_axis=c.data_axis,
+                    tp_axis=c.tp_axis,
                     name=f"layers_{i}",
                 )(res, deterministic=deterministic)
             else:  # baseline conv ResBlocks

@@ -168,6 +168,13 @@ class SS2D(nn.Module):
     seq_mesh: Any = None    # Optional[jax.sharding.Mesh]
     seq_axis: Any = None    # Optional[str]
     data_axis: Any = None   # Optional[str]
+    # tensor parallelism: shard the scan's K*d_inner channels over mesh axis
+    # `tp_axis` of `seq_mesh` (zero-collective channel split,
+    # :mod:`focalnet_tpu.parallel.tp_scan`).  The projections around the scan
+    # stay replicated — at 2.5M params there is no memory motive, and the
+    # scan is the hot ~75% that actually splits.  Mutually exclusive with
+    # seq_axis (both shard the same call); composes with data_axis (dp x tp).
+    tp_axis: Any = None     # Optional[str]
 
     @property
     def d_inner(self):
@@ -271,6 +278,11 @@ class SS2D(nn.Module):
         x_proj, dt_w, dt_b, A_logs, Ds = self._ssm_params()
 
         seq = self.seq_axis is not None and self.seq_mesh is not None
+        tp = self.tp_axis is not None and self.seq_mesh is not None
+        if seq and tp:
+            raise ValueError(
+                "seq_axis and tp_axis both shard the same scan call; "
+                "pick one (they compose with data_axis, not each other)")
         if seq:
             # sequence-parallel: chunks are sized for the PER-DEVICE length
             # so neither interleave groups nor kernel chunks span devices
@@ -341,6 +353,24 @@ class SS2D(nn.Module):
                 pre_interleaved=pre,
                 mesh=self.seq_mesh,
                 axis=self.seq_axis,
+                batch_axis=self.data_axis,
+            )
+        elif tp:
+            from focalnet_tpu.parallel.tp_scan import selective_scan_tp
+
+            scan = lambda delta, Bm, Cm, lo, reverse, y_accum=None: selective_scan_tp(
+                u2, delta, A[lo : lo + 2 * D], Bm, Cm,
+                D=Ds32[lo : lo + 2 * D],
+                delta_bias=bias[lo : lo + 2 * D],
+                delta_softplus=True,
+                out_dtype=jnp.float32,
+                backend=self.scan_backend,
+                chunk=self.scan_chunk,
+                reverse=reverse,
+                pre_interleaved=pre,
+                y_accum=y_accum,
+                mesh=self.seq_mesh,
+                axis=self.tp_axis,
                 batch_axis=self.data_axis,
             )
         else:

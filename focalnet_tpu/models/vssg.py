@@ -51,6 +51,7 @@ class VSSBlock(nn.Module):
     seq_mesh: Any = None
     seq_axis: Any = None
     data_axis: Any = None
+    tp_axis: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -76,6 +77,7 @@ class VSSBlock(nn.Module):
                     seq_mesh=mdl.seq_mesh,
                     seq_axis=mdl.seq_axis,
                     data_axis=mdl.data_axis,
+                    tp_axis=mdl.tp_axis,
                     name="op",
                 )
                 h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
@@ -124,6 +126,7 @@ def _make_blocks(prefix, depth, dim, dpr, cfg, scan_backend):
             seq_mesh=cfg.get("seq_mesh"),
             seq_axis=cfg.get("seq_axis"),
             data_axis=cfg.get("data_axis"),
+            tp_axis=cfg.get("tp_axis"),
             name=f"{prefix}{d}",
         )
         for d in range(depth)
@@ -168,6 +171,7 @@ class VSSG(nn.Module):
     seq_mesh: Any = None
     seq_axis: Any = None
     data_axis: Any = None
+    tp_axis: Any = None
 
     def _patch_embed(self, x, ps, name):
         """conv(k=ps, s=ps) + LayerNorm (``vmamba_layers.py:940-947``)."""
@@ -204,7 +208,7 @@ class VSSG(nn.Module):
             use_checkpoint=self.use_checkpoint, dtype=self.dtype,
             proj_dtype=self.proj_dtype,
             seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
-            data_axis=self.data_axis,
+            data_axis=self.data_axis, tp_axis=self.tp_axis,
         )
         total_depth = sum(self.depths)
         dpr = list(np.linspace(0.0, self.drop_path_rate, total_depth))

@@ -34,6 +34,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 from focalnet_tpu.ops.pallas_scan import DEF_CHUNK, deinterleave, interleave
 from focalnet_tpu.ops.selective_scan import scan_chunk_for, selective_scan
 
+# A/B switch for tests: wrap the prefix correction in jax.checkpoint instead
+# of relying on XLA to stream it.  MEASURED WORSE and therefore off: at the
+# hot shape (B=2, dim=384, N=16, Lloc=2048, pallas backend) the grad's peak
+# temp is 141.5 MB plain vs 235.9 MB checkpointed — XLA's producer-consumer
+# fusion already duplicates the cheap exp chain into each backward consumer
+# (the (B, dim, N, Lloc) Pterm "residual" never gets a buffer; 141.5 MB is
+# below even ONE 100.7 MB Pterm), while jax.checkpoint forces the recomputed
+# intermediates to materialize.  Pinned by
+# tests/test_parallel.py::test_seq_scan_grad_memory_streams_pterm.
+_CHECKPOINT_CORR = False
+
 
 def _fold_prefix(a_all, h_all, idx, ndev, reverse):
     """Compose the aggregates of the devices BEFORE this one (scan order)
@@ -132,17 +143,27 @@ def selective_scan_seq_sharded(
         # prefix correction: y_i += C_i · (P_i · h_prefix) with
         # P_i = exp(A · cumsum(dt)) (suffix cumsum in reverse mode).  The
         # (batch, G, D_per, N, Lloc) product below stays a streaming XLA
-        # elementwise+reduce fusion — nothing (…, N, L)-shaped hits HBM.
-        cdt = jnp.cumsum(dt, axis=-1)
-        if reverse:
-            cdt = jnp.sum(dt, axis=-1, keepdims=True) - cdt + dt
-        A4 = A32.reshape(G, D_per, N)
-        cdt4 = cdt.reshape(cdt.shape[0], G, D_per, Lloc)
-        hp4 = h_prefix.reshape(h_prefix.shape[0], G, D_per, N)
-        Pterm = jnp.exp(A4[None, :, :, :, None] * cdt4[:, :, :, None, :])
-        corr = jnp.sum(
-            Pterm * Cn[:, :, None, :, :] * hp4[..., None], axis=3
-        ).reshape(cdt.shape[0], dim, Lloc)
+        # elementwise+reduce fusion — nothing (…, N, L)-shaped hits HBM,
+        # in the forward AND under jax.grad: the exp's jaxpr residual is a
+        # cheap elementwise chain from (batch, dim, Lloc) inputs, and XLA's
+        # producer-consumer fusion duplicates it into each backward consumer
+        # instead of allocating the Pterm buffer.  Verified via
+        # compiled.memory_analysis() (see _CHECKPOINT_CORR above and
+        # tests/test_parallel.py::test_seq_scan_grad_memory_streams_pterm).
+        def _corr(dt, Cn, h_prefix):
+            cdt = jnp.cumsum(dt, axis=-1)
+            if reverse:
+                cdt = jnp.sum(dt, axis=-1, keepdims=True) - cdt + dt
+            A4 = A32.reshape(G, D_per, N)
+            cdt4 = cdt.reshape(cdt.shape[0], G, D_per, Lloc)
+            hp4 = h_prefix.reshape(h_prefix.shape[0], G, D_per, N)
+            Pterm = jnp.exp(A4[None, :, :, :, None] * cdt4[:, :, :, None, :])
+            return jnp.sum(
+                Pterm * Cn[:, :, None, :, :] * hp4[..., None], axis=3
+            ).reshape(cdt.shape[0], dim, Lloc)
+
+        corr = (jax.checkpoint(_corr) if _CHECKPOINT_CORR else _corr)(
+            dt, Cn, h_prefix)
         if pre_interleaved:
             corr = interleave(corr, T)
         return y_local + corr
