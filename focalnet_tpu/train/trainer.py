@@ -273,6 +273,12 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
                     pixel_loss=iter_pixel.average(),
                     fft_loss=iter_fft.average(), lr=lr,
                 )
+                if tb:
+                    # per-print_freq scalars on the reference's global-step
+                    # x-axis (iter_idx + (epoch-1)*max_iter, train.py:103-104)
+                    gs = iter_idx + (epoch_idx - 1) * max_iter
+                    tb.add_scalar("Pixel Loss", iter_pixel.average(), gs)
+                    tb.add_scalar("FFT Loss", iter_fft.average(), gs)
                 iter_timer.tic()
                 iter_pixel.reset(); iter_fft.reset()
 
@@ -284,9 +290,9 @@ def train(model, model_cfg: ModelConfig, cfg: TrainConfig,
             "Epoch FFT Loss: %7.4f" % (
                 epoch_idx, epoch_timer.toc(),
                 epoch_pixel.average(), epoch_fft.average()))
-        if tb:
-            tb.add_scalar("Pixel Loss", epoch_pixel.average(), epoch_idx)
-            tb.add_scalar("FFT Loss", epoch_fft.average(), epoch_idx)
+        # (no per-epoch Pixel/FFT TB scalars: the reference writes those tags
+        # only at print_freq on the global-step axis — mixing an epoch-indexed
+        # point into the same tag would corrupt the x-axis)
         epoch_pixel.reset(); epoch_fft.reset()
 
         if epoch_idx % cfg.valid_freq == 0 or epoch_idx == 1:
