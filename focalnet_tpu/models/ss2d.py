@@ -271,6 +271,13 @@ class SS2D(nn.Module):
            mathematically identical to flip/scan/flip but moves zero data.
         3. The 4-direction merge is a pointwise add in kernel layout plus
            one inverse permutation per raster.
+        4. Dense path only: the two directions sharing a raster (k and k+2)
+           run as separate per-raster calls on the raster's own (B, D, L)
+           operands instead of one stacked (B, 2D, L) pair call — the stack/
+           concat materialization around the custom calls disappears
+           (measured -2.9 ms per core fwd+bwd at (4, 128, 128, 192)).  The
+           sharded paths (seq/tp) keep the stacked pair form their shard_map
+           wrappers partition.
         """
         B, H, W, D = x.shape
         K, N, R = K_DIRS, self.d_state, self.rank
@@ -296,9 +303,83 @@ class SS2D(nn.Module):
             T = scan_chunk_for(L, self.scan_chunk)
             pre = L % T == 0  # kernel layout needs whole chunks (no padding)
 
-        # ONE fused permutation per raster direction of the input (channel
-        # move + raster + chunk interleave compose); the projections below
-        # are position-wise, so their outputs inherit the layout
+        pd = jnp.dtype(self.proj_dtype) if self.proj_dtype else None
+        cast = (lambda t: t.astype(pd)) if pd is not None else (lambda t: t)
+
+        A = -jnp.exp(A_logs.astype(jnp.float32)) # (4D, N), k-major rows
+        Ds32 = Ds.astype(jnp.float32)
+        bias = dt_b.reshape(-1).astype(jnp.float32)
+
+        if not (seq or tp):
+            # dense path: PER-RASTER split calls.  Each raster permutation of
+            # x feeds BOTH its forward direction (k = 0 row / 1 col) and its
+            # reversed direction (k = 2 / 3, realized by the kernel's reverse
+            # traversal on the SAME operands) — so operands are born in the
+            # custom call's exact layout and no (B, 2, D, L) direction stack
+            # is ever materialized.  Measured on-chip vs the stacked-pair
+            # form at (4, 128, 128, 192): 28.4 -> 25.5 ms per core fwd+bwd
+            # (the stack/concat fusions disappear); value/grad identical.
+            y = None
+            for i, col in enumerate((False, True)):
+                xr = raster_to_kernel(x, T, col=col, ilv=pre)  # (B, D, L)
+                # one matmul projects dt/B/C for BOTH directions of this
+                # raster (w rows k = i forward, k = i + 2 reversed,
+                # ``csm_triton.py:20-24``)
+                w2 = jnp.concatenate([x_proj[i], x_proj[i + 2]], axis=0)
+                xd = jnp.einsum(
+                    "bdl,cd->bcl", cast(xr), cast(w2),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                dts_f, Bs_f, Cs_f, dts_r, Bs_r, Cs_r = jnp.split(
+                    xd, [R, R + N, R + 2 * N, 2 * R + 2 * N, 2 * R + 3 * N],
+                    axis=1,
+                )
+                delta_f, delta_r = (
+                    jnp.einsum(
+                        "brl,dr->bdl", cast(dts), cast(dt_w[k]),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype)
+                    for dts, k in ((dts_f, i), (dts_r, i + 2))
+                )
+                u = xr
+                if flags["force_fp32"]:
+                    u = u.astype(jnp.float32)
+                    delta_f, delta_r = (
+                        delta_f.astype(jnp.float32), delta_r.astype(jnp.float32))
+                    Bs_f, Bs_r = Bs_f.astype(jnp.float32), Bs_r.astype(jnp.float32)
+                    Cs_f, Cs_r = Cs_f.astype(jnp.float32), Cs_r.astype(jnp.float32)
+
+                def dscan(delta, Bm, Cm, k, reverse, y_accum=None):
+                    return selective_scan(
+                        u, delta, A[k * D : (k + 1) * D],
+                        Bm[:, None], Cm[:, None],
+                        D=Ds32[k * D : (k + 1) * D],
+                        delta_bias=bias[k * D : (k + 1) * D],
+                        delta_softplus=True,
+                        out_dtype=jnp.float32,
+                        backend=self.scan_backend,
+                        chunk=self.scan_chunk,
+                        reverse=reverse,
+                        pre_interleaved=pre,
+                        y_accum=y_accum,
+                    )
+
+                # the reversed direction's call accumulates the forward's
+                # output in its kernel epilogue (y_accum): the per-raster
+                # merge costs no extra HBM pass
+                ys_f = dscan(delta_f, Bs_f, Cs_f, i, False)
+                ys = dscan(delta_r, Bs_r, Cs_r, i + 2, True, y_accum=ys_f)
+                yr = kernel_to_raster(ys, H, W, T, col=col, ilv=pre)
+                y = yr if y is None else y + yr
+            y = self._out_norm(y, flags)
+            return y.astype(x.dtype)
+
+        # sharded paths (seq xor tp): stacked direction pairs — the shard_map
+        # wrappers shard the (2D)-channel / G=2-group operands as one call
+        # per scan orientation.  ONE fused permutation per raster direction
+        # of the input (channel move + raster + chunk interleave compose);
+        # the projections below are position-wise, so their outputs inherit
+        # the layout.
         x2 = jnp.stack(
             [
                 raster_to_kernel(x, T, col=False, ilv=pre),
@@ -306,9 +387,6 @@ class SS2D(nn.Module):
             ],
             axis=1,
         )  # (B, 2, D, L)
-
-        pd = jnp.dtype(self.proj_dtype) if self.proj_dtype else None
-        cast = (lambda t: t.astype(pd)) if pd is not None else (lambda t: t)
 
         def project(w, dtw):
             # (dt, B, C) for one scan direction pair; w: (2, C', D) rows of
@@ -328,9 +406,6 @@ class SS2D(nn.Module):
         delta_f, Bs_f, Cs_f = project(x_proj[:2], dt_w[:2])
         delta_r, Bs_r, Cs_r = project(x_proj[2:], dt_w[2:])
 
-        A = -jnp.exp(A_logs.astype(jnp.float32)) # (4D, N), k-major rows
-        Ds32 = Ds.astype(jnp.float32)
-        bias = dt_b.reshape(-1).astype(jnp.float32)
         u2 = x2.reshape(B, 2 * D, L)
         if flags["force_fp32"]:
             u2 = u2.astype(jnp.float32)
@@ -373,26 +448,13 @@ class SS2D(nn.Module):
                 axis=self.tp_axis,
                 batch_axis=self.data_axis,
             )
-        else:
-            scan = lambda delta, Bm, Cm, lo, reverse, y_accum=None: selective_scan(
-                u2, delta, A[lo : lo + 2 * D], Bm, Cm,
-                D=Ds32[lo : lo + 2 * D],
-                delta_bias=bias[lo : lo + 2 * D],
-                delta_softplus=True,
-                out_dtype=jnp.float32,
-                backend=self.scan_backend,
-                chunk=self.scan_chunk,
-                reverse=reverse,
-                pre_interleaved=pre,
-                y_accum=y_accum,
-            )
         if seq:
             ys_f = scan(delta_f, Bs_f, Cs_f, 0, False).reshape(B, 2, D, L)
             ys = (
                 scan(delta_r, Bs_r, Cs_r, 2 * D, True).reshape(B, 2, D, L)
                 + ys_f
             )
-        else:
+        else:  # tp
             # the reverse-pair call accumulates the forward pair's output in
             # its kernel epilogue: the 4-direction merge costs no extra HBM
             # pass (y_accum, ops/pallas_scan.py)
