@@ -32,6 +32,13 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default="",
                    help="e.g. bfloat16 — the CLI's --compute_dtype (scan "
                         "state stays fp32 by design)")
+    p.add_argument("--ssm_out_dtype", type=str, default="",
+                   help="scan output dtype (e.g. bfloat16; '' = fp32 oflex)")
+    p.add_argument("--top", type=int, default=0,
+                   help="with --trace: list the top-N ops of --bucket")
+    p.add_argument("--bucket", type=str, default="layout",
+                   help="bucket for --top: 'layout' or an hlo_category "
+                        "substring (e.g. 'fusion', 'convolution')")
     args = p.parse_args(argv)
 
     import jax
@@ -51,6 +58,8 @@ def main(argv=None):
         overrides["ssm_proj_dtype"] = args.proj_dtype
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
+    if args.ssm_out_dtype:
+        overrides["ssm_out_dtype"] = args.ssm_out_dtype
     model = build_net(args.preset, **overrides)
     cfg = TrainConfig(batch_size=args.batch)
     tx = make_optimizer(cfg)
@@ -84,13 +93,31 @@ def main(argv=None):
     }))
 
     if args.trace:
-        from focalnet_tpu.utils.profiling import op_mix, trace
+        from focalnet_tpu.utils.profiling import op_mix, parse_trace, trace
 
         with trace(args.trace):
             run()
         mix = op_mix(args.trace, min_us=5.0)
         print(json.dumps({"metric": "train_step_device_op_mix_ms",
                           **{k: round(v, 2) for k, v in mix.items()}}))
+        if args.top:
+            # name the tail: top ops of one bucket (default: the layout
+            # bucket's copy/transpose/etc. ops) with scope names + counts
+            pats = ("data formatting", "transpose", "copy", "bitcast",
+                    "reshape", "slice", "pad") if args.bucket == "layout" \
+                else (args.bucket,)
+            r = parse_trace(args.trace, min_us=0.0)
+            rows = [
+                (name, ms, cnt, cat)
+                for name, ms, cnt, cat in r["ops"]
+                if any(p in f"{cat} {name}".lower() for p in pats)
+            ]
+            for name, ms, cnt, cat in rows[: args.top]:
+                print(f"  {ms:8.3f} ms  x{cnt:<4d} [{cat}] {name}")
+            rest = rows[args.top:]
+            if rest:
+                print(f"  {sum(m for _, m, _, _ in rest):8.3f} ms  "
+                      f"(+{len(rest)} more ops, {sum(c for *_, c, _ in rest)} events)")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,13 @@ class ModelConfig:
     # raise jax_default_matmul_precision (e.g. "highest"), where it buys the
     # MXU speedup back at the documented bf16 rounding cost.
     ssm_proj_dtype: str = ""
+    # dtype of the selective-scan OUTPUT y.  "" keeps the reference "oflex"
+    # contract (fp32 out even from bf16 inputs, cusoflex/selective_scan_
+    # oflex.cpp:164,234-240).  "bfloat16" (sensible only with
+    # compute_dtype=bfloat16) emits y — and therefore the y_accum chain, the
+    # raster de-permutes, and the backward's dy — at half width; the scan
+    # STATE and all in-kernel accumulation stay fp32 regardless.
+    ssm_out_dtype: str = ""
 
     # MLP branch
     mlp_ratio: float = 1.0

@@ -55,6 +55,8 @@ def main(args):
     overrides = {}
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
+    if args.ssm_out_dtype:
+        overrides["ssm_out_dtype"] = args.ssm_out_dtype
     if args.vssg_dim:
         overrides["vssg_dim"] = args.vssg_dim
     if args.ssm_d_state:
@@ -322,6 +324,12 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", type=str, default="",
                    choices=["", "float32", "bfloat16"],
                    help="activation compute dtype (params stay fp32)")
+    p.add_argument("--ssm_out_dtype", type=str, default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="scan OUTPUT dtype; '' keeps the reference 'oflex' "
+                        "fp32-out contract.  bfloat16 (with --compute_dtype "
+                        "bfloat16) halves y/dy HBM traffic; scan state stays "
+                        "fp32 either way")
     # architecture overrides (0/"" = keep the preset's value); mainly for
     # scaled-down experiments and the CPU-mesh integration tests
     p.add_argument("--vssg_dim", type=int, default=0)

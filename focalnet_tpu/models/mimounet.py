@@ -70,6 +70,8 @@ class StageStack(nn.Module):
                     dtype=_cfg_dtype(c),
                     proj_dtype=(None if c.ssm_proj_dtype in (None, "", "float32", "fp32")
                                 else c.ssm_proj_dtype),
+                    ssm_out_dtype=(None if c.ssm_out_dtype in (None, "", "float32", "fp32")
+                                   else c.ssm_out_dtype),
                     seq_mesh=self.seq_mesh,
                     seq_axis=c.seq_axis,
                     data_axis=c.data_axis,

@@ -161,6 +161,11 @@ class SS2D(nn.Module):
     # preferred_element_type either way).  bfloat16 feeds the MXU at 2x rate;
     # None keeps the operand dtype (exact torch parity)
     proj_dtype: Any = None
+    # dtype of the scan output y.  None keeps the "oflex" fp32-out contract
+    # (``cusoflex/selective_scan_oflex.cpp:164,234-240``); bfloat16 (for the
+    # bf16 skeleton) halves the y / y_accum / raster-depermute / dy HBM
+    # traffic.  Scan state + in-kernel accumulation stay fp32 either way.
+    ssm_out_dtype: Any = None
     # sequence parallelism: shard the scan length L = H*W over mesh axis
     # `seq_axis` of `seq_mesh` (kernel-backed segment scan + prefix exchange,
     # :mod:`focalnet_tpu.parallel.seq_scan`); `data_axis` names the mesh axis
@@ -305,6 +310,7 @@ class SS2D(nn.Module):
 
         pd = jnp.dtype(self.proj_dtype) if self.proj_dtype else None
         cast = (lambda t: t.astype(pd)) if pd is not None else (lambda t: t)
+        sod = jnp.dtype(self.ssm_out_dtype) if self.ssm_out_dtype else jnp.float32
 
         A = -jnp.exp(A_logs.astype(jnp.float32)) # (4D, N), k-major rows
         Ds32 = Ds.astype(jnp.float32)
@@ -356,7 +362,7 @@ class SS2D(nn.Module):
                         D=Ds32[k * D : (k + 1) * D],
                         delta_bias=bias[k * D : (k + 1) * D],
                         delta_softplus=True,
-                        out_dtype=jnp.float32,
+                        out_dtype=sod,
                         backend=self.scan_backend,
                         chunk=self.scan_chunk,
                         reverse=reverse,
@@ -421,7 +427,7 @@ class SS2D(nn.Module):
                 D=Ds32[lo : lo + 2 * D],
                 delta_bias=bias[lo : lo + 2 * D],
                 delta_softplus=True,
-                out_dtype=jnp.float32,
+                out_dtype=sod,
                 backend=self.scan_backend,
                 chunk=self.scan_chunk,
                 reverse=reverse,
@@ -438,7 +444,7 @@ class SS2D(nn.Module):
                 D=Ds32[lo : lo + 2 * D],
                 delta_bias=bias[lo : lo + 2 * D],
                 delta_softplus=True,
-                out_dtype=jnp.float32,
+                out_dtype=sod,
                 backend=self.scan_backend,
                 chunk=self.scan_chunk,
                 reverse=reverse,

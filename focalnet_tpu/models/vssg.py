@@ -48,6 +48,7 @@ class VSSBlock(nn.Module):
     scan_backend: str = "auto"
     dtype: Any = None
     proj_dtype: Any = None
+    ssm_out_dtype: Any = None
     seq_mesh: Any = None
     seq_axis: Any = None
     data_axis: Any = None
@@ -74,6 +75,7 @@ class VSSBlock(nn.Module):
                     scan_backend=mdl.scan_backend,
                     dtype=mdl.dtype,
                     proj_dtype=mdl.proj_dtype,
+                    ssm_out_dtype=mdl.ssm_out_dtype,
                     seq_mesh=mdl.seq_mesh,
                     seq_axis=mdl.seq_axis,
                     data_axis=mdl.data_axis,
@@ -123,6 +125,7 @@ def _make_blocks(prefix, depth, dim, dpr, cfg, scan_backend):
             scan_backend=scan_backend,
             dtype=cfg.get("dtype"),
             proj_dtype=cfg.get("proj_dtype"),
+            ssm_out_dtype=cfg.get("ssm_out_dtype"),
             seq_mesh=cfg.get("seq_mesh"),
             seq_axis=cfg.get("seq_axis"),
             data_axis=cfg.get("data_axis"),
@@ -168,6 +171,7 @@ class VSSG(nn.Module):
     scan_backend: str = "auto"
     dtype: Any = None
     proj_dtype: Any = None
+    ssm_out_dtype: Any = None
     seq_mesh: Any = None
     seq_axis: Any = None
     data_axis: Any = None
@@ -206,7 +210,7 @@ class VSSG(nn.Module):
             forward_type=self.forward_type, mlp_ratio=self.mlp_ratio,
             mlp_act=self.mlp_act, mlp_drop_rate=self.mlp_drop_rate,
             use_checkpoint=self.use_checkpoint, dtype=self.dtype,
-            proj_dtype=self.proj_dtype,
+            proj_dtype=self.proj_dtype, ssm_out_dtype=self.ssm_out_dtype,
             seq_mesh=self.seq_mesh, seq_axis=self.seq_axis,
             data_axis=self.data_axis, tp_axis=self.tp_axis,
         )

@@ -65,6 +65,47 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _out_vma(*xs):
+    """Union of the operands' varying-manual-axes sets.
+
+    Under ``jax.shard_map(..., check_vma=True)`` (jax >= 0.9) every
+    ``pallas_call`` out_shape must declare which manual mesh axes the output
+    varies over; deriving it as the union of the data operands' vma lets the
+    sharded wrappers (:mod:`focalnet_tpu.parallel.seq_scan`/``tp_scan``) keep
+    shard_map's sharding-correctness check ON for the production kernel
+    path.  Outside shard_map every aval's vma is empty and :func:`_sds`
+    degrades to a plain ShapeDtypeStruct.
+    """
+    vma = frozenset()
+    for x in xs:
+        v = getattr(jax.typeof(x), "vma", None)
+        if v:
+            vma |= frozenset(v)
+    return vma
+
+
+def _sds(vma):
+    """ShapeDtypeStruct factory carrying ``vma`` (when nonempty)."""
+    if vma:
+        return lambda shape, dtype: jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct
+
+
+def _lift_vma(operands, vma):
+    """pvary replicated operands (params, placeholder seeds) up to ``vma`` so
+    every pallas_call input/output agrees on its varying axes."""
+    if not vma:
+        return operands
+    out = []
+    for x in operands:
+        have = frozenset(getattr(jax.typeof(x), "vma", None) or ())
+        need = tuple(sorted(vma - have))
+        out.append(
+            jax.lax.pcast(x, need, to="varying") if need else x
+        )
+    return out
+
+
 def _pair_scan_fwd(a, b, col_ids, T, need_a=True):
     """Inclusive scan of (a, b) pairs along lanes (axis 1), left-to-right.
 
@@ -667,15 +708,17 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, ha
         pl.BlockSpec((1, 1, D_blk, T), seq),
         pl.BlockSpec((1, 1, 1, 1, NR, 1), seq_chk),
     ]
+    vma = _out_vma(u_p, delta_p, B_p, C_p, h0, y_acc)
+    sds = _sds(vma)
     out_shape = [
-        jax.ShapeDtypeStruct((Bsz, G, D, Lp), out_dtype),
-        jax.ShapeDtypeStruct((Bsz, G, nD, nL, NR, 1), jnp.float32),
+        sds((Bsz, G, D, Lp), out_dtype),
+        sds((Bsz, G, nD, nL, NR, 1), jnp.float32),
     ]
     operands = [u_p, delta_p, A_nm, B_p, C_p, D4, bias4]
     if with_state:
         in_specs.append(pl.BlockSpec((1, 1, 1, NR, 1), state))            # h0
         out_specs.append(pl.BlockSpec((1, 1, 1, NR, 1), state))           # h_last
-        out_shape.append(jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32))
+        out_shape.append(sds((Bsz, G, nD, NR, 1), jnp.float32))
         operands.append(_state_to_rows(h0.astype(jnp.float32), nD, D_blk, N))
     if with_accum:
         # y_acc arrives in the OUTPUT's layout (interleaved when pre_ilv)
@@ -689,7 +732,7 @@ def _scan_fwd_impl(u, delta, A, B, C, Dskip, delta_bias, h0, y_acc, softplus, ha
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((NR, 1), jnp.float32)],
         interpret=_interpret(),
-    )(*operands)
+    )(*_lift_vma(operands, vma))
     if with_state:
         y, hchk, h_last = outs
         h_last = _state_from_rows(h_last, nD, D_blk, N)
@@ -714,11 +757,10 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_stat
     )
     Bsz, G, D, L, N, T, Lp, D_blk, nD, nL = dims
     NR = N * D_blk
-    dy_p = (
-        dy.astype(jnp.float32)
-        if pre_ilv
-        else _ilv(_pad_L(dy.astype(jnp.float32), Lp), T)
-    )
+    # dy is consumed in its own dtype (the kernel upcasts per-tile in VMEM):
+    # a host-side astype(fp32) here would materialize a full-length copy in
+    # front of the custom call — the exact pass a bf16 ``out_dtype`` saves.
+    dy_p = dy if pre_ilv else _ilv(_pad_L(dy, Lp), T)
 
     # grid: channel blocks j INNERMOST (see _bwd_kernel) so dB/dC accumulate
     # in VMEM across j and flush once per chunk
@@ -761,20 +803,32 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_stat
         pl.BlockSpec((1, 1, nD, D_blk, 1), pinned),                  # dD
         pl.BlockSpec((1, 1, nD, D_blk, 1), pinned),                  # dbias
     ]
+    vma = _out_vma(u_p, delta_p, B_p, C_p, dy_p, dh_last)
+    sds = _sds(vma)
     out_shape = [
-        jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
-        jax.ShapeDtypeStruct((Bsz, G, D, Lp), jnp.float32),
-        jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Bsz, G, N, Lp), jnp.float32),
-        jax.ShapeDtypeStruct((Bsz, G, N, Lp), jnp.float32),
-        jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Bsz, G, nD, D_blk, 1), jnp.float32),
+        # du/ddelta leave the kernel in the INPUT dtype (the CUDA backward's
+        # input_t gradient outputs, ``cusoflex/selective_scan_bwd_kernel_
+        # oflex.cuh:22-60``): under a bf16 skeleton this halves the two
+        # full-length (B, G, D, L) gradient writes and the downstream read
+        # into the projection-VJP matmuls, instead of writing fp32 and
+        # letting XLA cast later.  All in-kernel accumulation stays fp32;
+        # the final cast is the same one XLA would have emitted.  dB/dC are
+        # j-accumulated ACROSS channel blocks in their output buffer, so
+        # they stay fp32 (bf16 accumulation would compound across nD) and
+        # are 12x smaller (N vs D rows) anyway.
+        sds((Bsz, G, D, Lp), u.dtype),
+        sds((Bsz, G, D, Lp), delta.dtype),
+        sds((Bsz, G, nD, NR, 1), jnp.float32),
+        sds((Bsz, G, N, Lp), jnp.float32),
+        sds((Bsz, G, N, Lp), jnp.float32),
+        sds((Bsz, G, nD, D_blk, 1), jnp.float32),
+        sds((Bsz, G, nD, D_blk, 1), jnp.float32),
     ]
     if with_state:
         in_specs.append(pl.BlockSpec((1, 1, nD, NR, 1), pinned))     # dh_last
         operands.append(_state_to_rows(dh_last.astype(jnp.float32), nD, D_blk, N))
         out_specs.append(pl.BlockSpec((1, 1, nD, NR, 1), pinned))    # dh0
-        out_shape.append(jax.ShapeDtypeStruct((Bsz, G, nD, NR, 1), jnp.float32))
+        out_shape.append(sds((Bsz, G, nD, NR, 1), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -783,7 +837,7 @@ def _scan_vjp_bwd(softplus, has_D, out_dtype, chunk, reverse, pre_ilv, with_stat
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nD, NR, 1), jnp.float32)],
         interpret=_interpret(),
-    )(*operands)
+    )(*_lift_vma(operands, vma))
     if with_state:
         du, ddelta, dA_p, dB_s, dC_s, dD_p, dbias_p, dh0_p = outs
     else:

@@ -168,19 +168,25 @@ def selective_scan_seq_sharded(
             corr = interleave(corr, T)
         return y_local + corr
 
-    # check_vma must be OFF for the Pallas path: pallas_call outputs carry no
-    # varying-manual-axes info (jax raises "vma on ShapeDtypeStruct must not
-    # be None" inside shard_map) — a tracing-metadata limitation, not a
-    # sharding-semantics dodge; the chunked/oracle paths keep the check ON.
+    # check_vma stays ON everywhere except INTERPRETED pallas (CPU-mesh
+    # tests): the kernel's out_shapes declare their varying axes and its
+    # operands are pvaried up to them (ops/pallas_scan.py::_out_vma), so the
+    # compiled mosaic path — the one real hardware runs — is covered by
+    # shard_map's sharding-correctness check (TPU-validated:
+    # tests/test_tpu_only.py::test_seq_scan_check_vma_on_pallas).  In
+    # interpret mode jax's hlo_interpreter evaluates the kernel body under
+    # vma typing, where kernel-internal literals aren't pvaried — a
+    # tracing-metadata limitation of the interpreter only.
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
+    interpreted = jax.default_backend() != "tpu"
     spec_l = P(batch_axis, None, axis)
     spec_bc = P(batch_axis, None, None, axis)
     y = jax.shard_map(
         body,
         mesh=mesh,
-        check_vma=not use_pallas,
+        check_vma=not (use_pallas and interpreted),
         in_specs=(
             spec_l, spec_l, P(None, None), spec_bc, spec_bc, P(None), P(None),
         ),

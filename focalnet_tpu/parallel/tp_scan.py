@@ -86,20 +86,22 @@ def selective_scan_tp(
         )
         return y.reshape(b, g, d_loc, l) if sub else y
 
-    # check_vma OFF only for the Pallas path (pallas_call outputs carry no
-    # varying-manual-axes info — see the same note in seq_scan.py); the
-    # chunked/oracle paths keep the check ON (their lax.scan carry is made
-    # varying via the explicit h0 above).
+    # check_vma OFF only for INTERPRETED pallas (CPU-mesh tests): the
+    # kernel's out_shapes/operands now carry/lift vma (see the note in
+    # seq_scan.py), so the compiled mosaic path keeps shard_map's
+    # sharding-correctness check ON; the chunked/oracle paths always kept
+    # it ON (their lax.scan carry is made varying via the explicit h0 above).
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
+    check = not (use_pallas and jax.default_backend() != "tpu")
 
     if G % n_shard == 0:
         # whole-group sharding: channels, A rows, D, bias follow the groups
         y = jax.shard_map(
             local,
             mesh=mesh,
-            check_vma=not use_pallas,
+            check_vma=check,
             in_specs=(
                 P(batch_axis, axis, None),        # u: channels sharded
                 P(batch_axis, axis, None),        # delta
@@ -130,7 +132,7 @@ def selective_scan_tp(
     y = jax.shard_map(
         local,
         mesh=mesh,
-        check_vma=not use_pallas,
+        check_vma=check,
         in_specs=(
             spec4,                             # u
             spec4,                             # delta

@@ -141,6 +141,51 @@ def test_gradient_parity_reduced_precision(backend, itype):
         )
 
 
+@pytest.mark.parametrize("backend", ["chunked", "pallas"])
+@pytest.mark.parametrize("itype", [jnp.float32, jnp.bfloat16])
+def test_bf16_out_dtype_values_and_grads(backend, itype):
+    """``out_dtype=bfloat16`` (the model's ``ssm_out_dtype`` knob): y comes
+    back bf16, values match the fp32-out path to one rounding, and the
+    backward consumes the bf16 dy directly — on the pallas backend there is
+    no host-side upcast in front of the custom call (the kernel upcasts per
+    tile in VMEM); grads track the fp32-out grads within the bf16 ladder.
+    The reference's oflex contract is fp32-out (``cusoflex/selective_scan_
+    oflex.cpp:164,234-240``); bf16-out is the TPU build's opt-in HBM saver.
+    """
+    batch, G, N, L = 2, 2, 4, 256
+    dim = 4 * G
+    key = jax.random.PRNGKey(6)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, itype, True, True
+    )
+    fn = BACKENDS[backend]
+
+    y16 = fn(u, delta, A, B, C, D, bias, True, out_dtype=jnp.bfloat16)
+    y32 = fn(u, delta, A, B, C, D, bias, True)
+    assert y16.dtype == jnp.bfloat16 and y32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y16, dtype=np.float32),
+                               np.asarray(y32), rtol=3e-2, atol=5e-2)
+
+    def loss(out_dtype):
+        def f(u, delta, A, B, C, D, bias):
+            y = fn(u, delta, A, B, C, D, bias, True, out_dtype=out_dtype)
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape) / y.size
+            return jnp.sum(y.astype(jnp.float32) * jnp.sin(w))
+        return f
+
+    args = (u, delta, A, B, C, D, bias)
+    g32 = jax.grad(loss(jnp.float32), argnums=tuple(range(7)))(*args)
+    g16 = jax.grad(loss(jnp.bfloat16), argnums=tuple(range(7)))(*args)
+    tol = GRAD_TOLS[jnp.bfloat16]
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"]
+    for name, r, g in zip(names, g32, g16):
+        assert g.dtype == r.dtype, name  # cotangents keep the input dtypes
+        np.testing.assert_allclose(
+            np.asarray(g, dtype=np.float32),
+            np.asarray(r, dtype=np.float32), err_msg=name, **tol
+        )
+
+
 @pytest.mark.parametrize("L", [2048, 4096])
 def test_forward_parity_long_sequence(L):
     """Long-L forward vs the oracle (reference sweeps seqlen up to 4096,

@@ -158,3 +158,62 @@ def test_depthwise_conv_stays_fp32_on_hw():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_seq_scan_check_vma_on_pallas():
+    """shard_map's check_vma stays ON for the COMPILED pallas path.
+
+    vma is a trace-time type check, so a 1-device mesh fully exercises it:
+    every pallas_call out_shape must declare its varying axes and replicated
+    operands must be pvaried up to them (ops/pallas_scan.py::_out_vma /
+    _lift_vma) or shard_map raises at trace time.  Values + grads vs the
+    unsharded kernel.  (The CPU suite can't cover this: interpret-mode
+    pallas evaluates the kernel body under vma typing, where kernel
+    literals aren't pvaried — so check_vma is only disabled there.)
+    """
+    from jax.sharding import Mesh
+    from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+    from focalnet_tpu.parallel.seq_scan import selective_scan_seq_sharded
+    from focalnet_tpu.parallel.tp_scan import selective_scan_tp
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    D, N, G, L = 64, 4, 2, 512
+    u = jax.random.normal(ks[0], (2, D, L)) * 0.5
+    delta = 0.5 * jax.random.uniform(ks[1], (2, D, L))
+    A = -0.5 - jax.random.uniform(ks[2], (D, N))
+    B = jax.random.normal(ks[3], (2, G, N, L)) * 0.5
+    C = jax.random.normal(ks[4], (2, G, N, L)) * 0.5
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "seq"))
+    for reverse in (False, True):
+        def f_seq(u, delta, B, C):
+            y = selective_scan_seq_sharded(
+                u, delta, A, B, C, delta_softplus=True, mesh=mesh,
+                axis="seq", batch_axis="data", backend="pallas",
+                reverse=reverse)
+            return jnp.sum(y * y), y
+
+        def f_plain(u, delta, B, C):
+            y = selective_scan_pallas(
+                u, delta, A, B, C, delta_softplus=True, reverse=reverse)
+            return jnp.sum(y * y), y
+
+        (ls, ys), gs = jax.jit(jax.value_and_grad(f_seq, (0, 1), has_aux=True))(
+            u, delta, B, C)
+        (lp, yp), gp = jax.jit(jax.value_and_grad(f_plain, (0, 1), has_aux=True))(
+            u, delta, B, C)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yp),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(gs, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    # tp path (sub-group sharding on the same 1-device mesh, axis size 1)
+    mesh_tp = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    y_tp = jax.jit(lambda u, d, B, C: selective_scan_tp(
+        u, d, A, B, C, delta_softplus=True, mesh=mesh_tp, axis="model",
+        batch_axis="data", backend="pallas"))(u, delta, B, C)
+    y_pl = jax.jit(lambda u, d, B, C: selective_scan_pallas(
+        u, d, A, B, C, delta_softplus=True))(u, delta, B, C)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_pl),
+                               rtol=1e-5, atol=1e-5)
