@@ -6,8 +6,60 @@ from __future__ import annotations
 import os
 
 
-def _host_cpu_tag() -> str:
-    """Fingerprint of the host CPU's feature set.
+def _host_cpu_identity(cpuinfo_text: str | None = None) -> str:
+    """Canonical identity string for the host CPU microarchitecture.
+
+    XLA:CPU AOT executables are specialized by LLVM host detection, which
+    keys off CPUID (vendor/family/model/stepping → subtarget) as well as the
+    feature flags.  Round 4's flags-only md5 was provably porous: the driver
+    dryrun loaded a cache entry whose XLA-recorded machine features
+    mismatched the host ("could lead to execution errors such as SIGILL").
+    So the identity includes every CPUID-derived field /proc/cpuinfo exposes
+    plus the *sorted set* of flags (order-independent), plus the jaxlib
+    version (serialized-executable format owner).  `cpuinfo_text` is
+    injectable for the sensitivity unit test.
+    """
+    import platform
+
+    fields = {
+        "vendor_id",
+        "cpu family",
+        "model",
+        "model name",
+        "stepping",
+        "microcode",
+    }
+    ident: dict[str, str] = {}
+    flags: list[str] = []
+    try:
+        if cpuinfo_text is None:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        for line in cpuinfo_text.splitlines():
+            if ":" not in line:
+                continue
+            k, _, v = line.partition(":")
+            k, v = k.strip(), v.strip()
+            if k in fields and k not in ident:
+                ident[k] = v
+            elif k == "flags" and not flags:
+                flags = sorted(v.split())
+    except Exception:
+        ident["fallback"] = platform.processor() or platform.machine()
+    ident["arch"] = platform.machine()
+    try:
+        import jaxlib.version
+
+        ident["jaxlib"] = jaxlib.version.__version__
+    except Exception:
+        pass
+    parts = [f"{k}={ident[k]}" for k in sorted(ident)]
+    parts.append("flags=" + ",".join(flags))
+    return ";".join(parts)
+
+
+def _host_cpu_tag(cpuinfo_text: str | None = None) -> str:
+    """Fingerprint of the host CPU's microarchitecture identity.
 
     XLA:CPU cache entries are AOT executables for the exact host
     microarchitecture; loading one compiled on a different machine can
@@ -16,14 +68,7 @@ def _host_cpu_tag() -> str:
     """
     import hashlib
 
-    try:
-        with open("/proc/cpuinfo") as f:
-            src = next(l for l in f if l.startswith("flags"))
-    except Exception:
-        import platform
-
-        src = platform.processor() or platform.machine()
-    return hashlib.md5(src.encode()).hexdigest()[:8]
+    return hashlib.md5(_host_cpu_identity(cpuinfo_text).encode()).hexdigest()[:8]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

@@ -98,6 +98,47 @@ def test_use_cpu_cache_points_at_fingerprinted_dir():
         jax.config.update("jax_compilation_cache_dir", before)
 
 
+def test_cpu_tag_sensitivity():
+    """Pin what the cache fingerprint reacts to (VERDICT r4 task 5): the r4
+    flags-only md5 let a feature-mismatched XLA:CPU AOT entry load (the
+    driver dryrun tail carried XLA's SIGILL warning).  The tag must change
+    when ANY CPUID-derived field changes — model name, family/model/stepping,
+    vendor, microcode — not just the flags line, and must be insensitive to
+    flag ORDER (same feature set, different /proc ordering)."""
+    from focalnet_tpu.utils.cache import _host_cpu_identity, _host_cpu_tag
+
+    base = (
+        "vendor_id\t: GenuineIntel\n"
+        "cpu family\t: 6\n"
+        "model\t\t: 85\n"
+        "model name\t: Intel(R) Xeon(R) CPU @ 2.00GHz\n"
+        "stepping\t: 7\n"
+        "microcode\t: 0xffffffff\n"
+        "flags\t\t: fpu vme sse sse2 avx avx2 avx512f\n"
+    )
+    tag0 = _host_cpu_tag(base)
+    # order-insensitive over flags
+    reordered = base.replace(
+        "fpu vme sse sse2 avx avx2 avx512f", "avx512f avx2 avx sse2 sse vme fpu"
+    )
+    assert _host_cpu_tag(reordered) == tag0
+    # sensitive to every CPUID field LLVM's host detection keys off
+    for old, new in [
+        ("GenuineIntel", "AuthenticAMD"),
+        ("cpu family\t: 6", "cpu family\t: 25"),
+        ("model\t\t: 85", "model\t\t: 106"),
+        ("Xeon(R) CPU @ 2.00GHz", "Xeon(R) Platinum 8481C"),
+        ("stepping\t: 7", "stepping\t: 6"),
+        ("microcode\t: 0xffffffff", "microcode\t: 0x2b000603"),
+        ("avx512f", "avx512f amx_tile"),
+    ]:
+        assert _host_cpu_tag(base.replace(old, new)) != tag0, (old, new)
+    # jaxlib version (executable serialization owner) is part of the identity
+    assert "jaxlib=" in _host_cpu_identity(base)
+    # the real-host tag is stable call-to-call
+    assert _host_cpu_tag() == _host_cpu_tag()
+
+
 def test_plot_logs_renders(tmp_path):
     from focalnet_tpu.utils.plot_logs import plot_logs
 
