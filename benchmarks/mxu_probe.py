@@ -52,14 +52,30 @@ def _chain_dot(a, b, iters: int, precision=None):
 
 
 def time_dot(name, ashape, bshape, dtype, iters=30, precision=None, key=0):
+    """Trace-based device timing.  Wall clocks through the axon tunnel carry
+    ~25 ms RTT and ms-scale jitter — far above these µs-scale dots — so the
+    per-iteration cost is read from a jax.profiler device trace instead
+    (total device ms across the scan body / iters; includes the chain's
+    rescale pass, so it upper-bounds the dot itself)."""
+    import shutil
+    import tempfile
+
+    from focalnet_tpu.utils.profiling import parse_trace, trace
+
     k1, k2 = jax.random.split(jax.random.PRNGKey(key))
     a = jax.random.normal(k1, ashape, dtype)
     b = jax.random.normal(k2, bshape, dtype)
     fn = _chain_dot(a, b, iters, precision)
     float(fn(a))  # compile + warm
-    t0 = time.time()
-    r = float(fn(a))
-    dt = time.time() - t0
+    tdir = tempfile.mkdtemp(prefix="mxu_probe_")
+    try:
+        with trace(tdir):
+            float(fn(a))
+        r = parse_trace(tdir, min_us=0.0)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    dt = r["total_ms"] / 1000.0
+    iters_eff = iters
     # useful MACs of one dot
     if len(ashape) == 3:
         d, m, k = ashape
@@ -69,7 +85,7 @@ def time_dot(name, ashape, bshape, dtype, iters=30, precision=None, key=0):
         m, k = ashape
         n = bshape[-1]
         macs = m * k * n
-    ms = dt * 1000.0 / iters
+    ms = dt * 1000.0 / iters_eff
     tflops = 2 * macs / (ms * 1e-3) / 1e12
     print(
         f"{name:42s} {str(dtype):>8s} prec={str(precision):>8s} "

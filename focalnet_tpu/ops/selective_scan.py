@@ -12,6 +12,10 @@ variant collapses onto one implementation family:
                   PyTorch fallback path).
 - ``"assoc"``   — ``lax.associative_scan`` oracle.
 - ``"ref"``     — sequential ``lax.scan`` oracle.
+- ``"matrix"``  — the reference's chunk-matrix (tril-mask) formulation
+                  (``test_selective_scan_easy.py:391-466,594``); MXU-mapped
+                  but measured 5.6x slower than the Pallas VPU kernel at the
+                  hot shape — see :mod:`focalnet_tpu.ops.scan_matrix`.
 
 The reference's "ndstate" specialization (N == 1, K3 in SURVEY.md §2.2) needs
 no special-casing here: pass ``A`` with a trailing state axis of 1 and
@@ -32,9 +36,10 @@ from focalnet_tpu.ops.pallas_scan import (
     selective_scan_pallas,
 )
 from focalnet_tpu.ops.scan_chunked import selective_scan_chunked
+from focalnet_tpu.ops.scan_matrix import selective_scan_matrix
 from focalnet_tpu.ops.scan_ref import selective_scan_assoc, selective_scan_ref
 
-BACKENDS = ("auto", "pallas", "chunked", "assoc", "ref")
+BACKENDS = ("auto", "pallas", "chunked", "assoc", "ref", "matrix")
 
 
 def _default_backend():
@@ -116,7 +121,8 @@ def selective_scan(
         flip = lambda x: jax.numpy.flip(x, axis=-1)
         out = selective_scan(
             flip(u), flip(delta), A, flip(B), flip(C),
-            backend=backend, h0=h0, return_state=return_state, **kwargs,
+            backend=backend, chunk=chunk, h0=h0, return_state=return_state,
+            **kwargs,
         )
         if return_state:
             return flip(out[0]), out[1]
@@ -125,6 +131,10 @@ def selective_scan(
     kwargs["return_last_state"] = return_state
     if backend == "chunked":
         return selective_scan_chunked(u, delta, A, B, C, **kwargs)
+    if backend == "matrix":
+        if chunk is not None:
+            kwargs["chunk"] = chunk
+        return selective_scan_matrix(u, delta, A, B, C, **kwargs)
     if backend == "assoc":
         return selective_scan_assoc(u, delta, A, B, C, **kwargs)
     if backend == "ref":

@@ -7,6 +7,8 @@ delta_softplus x groups, with a dtype-scaled tolerance ladder, forward checks
 then gradient checks per input tensor.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,7 @@ from focalnet_tpu.ops import (
     selective_scan_ref,
 )
 from focalnet_tpu.ops.pallas_scan import selective_scan_pallas
+from focalnet_tpu.ops.scan_matrix import selective_scan_matrix
 
 # tolerance ladder mirroring test_selective_scan.py:398-400
 TOLS = {
@@ -43,6 +46,13 @@ BACKENDS = {
     "assoc": selective_scan_assoc,
     "chunked": selective_scan_chunked,
     "pallas": selective_scan_pallas,
+    # the reference's tril-mask chunk-matrix formulation
+    # (test_selective_scan_easy.py:391-466, SelectiveScanMatrix:594).
+    # chunk=16 keeps make_inputs' adversarial dt/A (|A|*sum dt per chunk up
+    # to ~36) inside the factored form's fp32 stability domain (~80, see
+    # ops/scan_matrix.py) — the trained model's dt range is safe at the
+    # reference default of 64.
+    "matrix": functools.partial(selective_scan_matrix, chunk=16),
 }
 
 
@@ -67,7 +77,7 @@ def test_forward_parity(backend, itype, L, has_D, has_bias, softplus, G):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
 
 
-@pytest.mark.parametrize("backend", ["chunked", "pallas"])
+@pytest.mark.parametrize("backend", ["chunked", "pallas", "matrix"])
 @pytest.mark.parametrize("itype", [jnp.float32])
 @pytest.mark.parametrize("L", [128, 320])
 def test_gradient_parity(backend, itype, L):
@@ -198,6 +208,25 @@ def test_forward_parity_long_sequence(L):
     ref = selective_scan_ref(u, delta, A, B, C, D, bias, True)
     got = selective_scan_pallas(u, delta, A, B, C, D, bias, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=6e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("L", [100, 130])  # not multiples of the 16-chunk
+def test_matrix_backend_ragged_length(L):
+    """The matrix formulation pads ragged chunks with dt=0 (identity: flat
+    decay, zero v) — values and the carried state must match the oracle."""
+    batch, dim, N, G = 2, 8, 8, 2
+    key = jax.random.PRNGKey(11)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, dim, N, L, G, jnp.float32, True, True
+    )
+    ref, h_ref = selective_scan_ref(u, delta, A, B, C, D, bias, True,
+                                    return_last_state=True)
+    got, h_got = selective_scan_matrix(u, delta, A, B, C, D, bias, True,
+                                       return_last_state=True, chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=6e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
                                rtol=6e-4, atol=2e-3)
 
 
@@ -378,7 +407,7 @@ def test_raster_to_kernel_roundtrip(H, W, T, col):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
-@pytest.mark.parametrize("backend", ["pallas", "chunked", "assoc", "ref"])
+@pytest.mark.parametrize("backend", ["pallas", "chunked", "assoc", "ref", "matrix"])
 @pytest.mark.parametrize("reverse", [False, True])
 def test_segment_api_chaining(backend, reverse):
     """h0/return_state (the segment API): scanning two halves chained by the
@@ -389,9 +418,11 @@ def test_segment_api_chaining(backend, reverse):
     u, delta, A, B, C, D, bias = make_inputs(
         jax.random.PRNGKey(21), 2, 8, 4, 256, 1, jnp.float32, True, True
     )
+    # matrix backend: keep the adversarial inputs in its stability domain
+    ckw = {"chunk": 16} if backend == "matrix" else {}
     full, h_full = scan(u, delta, A, B, C, D=D, delta_bias=bias,
                         delta_softplus=True, backend=backend,
-                        reverse=reverse, return_state=True)
+                        reverse=reverse, return_state=True, **ckw)
     halves = [slice(0, 128), slice(128, 256)]
     if reverse:
         halves = halves[::-1]
@@ -401,7 +432,7 @@ def test_segment_api_chaining(backend, reverse):
         ys[sl.start], h = scan(
             u[..., sl], delta[..., sl], A, B[..., sl], C[..., sl],
             D=D, delta_bias=bias, delta_softplus=True, backend=backend,
-            reverse=reverse, h0=h, return_state=True,
+            reverse=reverse, h0=h, return_state=True, **ckw,
         )
     y2 = jnp.concatenate([ys[0], ys[128]], axis=-1)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(full),
