@@ -203,12 +203,20 @@ def infer(model, params, input_path: str, result_dir: str,
     # output quantization — at 1/4 the host->device transfer volume (the
     # serving bottleneck over slow links; BASELINE.md tunnel rows,
     # test_device_u8_normalize_within_1ulp)
-    def _apply(x):
+    # params are a jit ARGUMENT (not a closure): closed-over weights become
+    # HLO constants, which (a) bakes ~9 MB of parameters into every serving
+    # executable and (b) lets XLA constant-fold/fuse differently from the
+    # identical params-as-argument computation in evaluation.serve — the two
+    # paths then stop being byte-identical under XLA:CPU's fusion choices
+    # (seen once as an order-dependent test_serve_mode_tiled_matches_infer
+    # failure).  With the same (p, x) signature both modules trace the same
+    # jaxpr, share one persistent-cache entry, and agree bit-for-bit.
+    def _apply(p, x):
         import jax.numpy as jnp
 
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
-        return model.apply(params, x)[2]
+        return model.apply(p, x)[2]
 
     if mesh is not None and mesh.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -222,10 +230,12 @@ def infer(model, params, input_path: str, result_dir: str,
                 f"data-axis size {n_data} for sharded inference"
             )
         shard = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
 
-        fwd = jax.jit(_apply, in_shardings=shard, out_shardings=shard)
+        fwd_p = jax.jit(_apply, in_shardings=(repl, shard), out_shardings=shard)
     else:
-        fwd = jax.jit(_apply)
+        fwd_p = jax.jit(_apply)
+    fwd = lambda x: fwd_p(params, x)
 
     files = _list_images(input_path)
     if not files:
