@@ -211,3 +211,71 @@ def test_parse_trace_and_op_mix(tmp_path):
     assert abs(mix["conv"] - 0.15) < 1e-9
     assert abs(mix["fusion"] - 0.3) < 1e-9
     assert mix["other"] == 0.0
+
+
+_AOT_WARN = (
+    "E0821 01:46:18.191208 910 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+    "result. Target machine feature +prefer-no-gather is not  supported on "
+    "the host machine. Machine type used for XLA:CPU compilation doesn't "
+    "match the machine type for execution. Compile machine features: "
+    "[+64bit,+avx,+avx2,{extra}+prefer-no-scatter,+prefer-no-gather,-amx-avx512] "
+    "vs host machine features: [64bit,avx,avx2,sse]. This could lead to "
+    "execution errors such as SIGILL."
+)
+
+
+def test_aot_warning_parse_and_benignity():
+    """The cpu_aot_loader warning fires on every SAME-HOST load because XLA
+    adds tuning preferences (prefer-no-gather/scatter) to the compile
+    feature string that LLVM's host probe never reports.  The filter must
+    drop exactly that case and keep everything else."""
+    from focalnet_tpu.utils.cache import (
+        _is_benign_aot_line,
+        aot_warning_missing_features,
+    )
+
+    benign = _AOT_WARN.format(extra="")
+    assert aot_warning_missing_features(benign) == {
+        "prefer-no-gather", "prefer-no-scatter"}
+    assert _is_benign_aot_line(benign)
+
+    # a REAL missing ISA feature (cross-host entry) must pass through
+    real = _AOT_WARN.format(extra="+amx-int8,")
+    assert aot_warning_missing_features(real) == {
+        "prefer-no-gather", "prefer-no-scatter", "amx-int8"}
+    assert not _is_benign_aot_line(real)
+
+    # disabled-at-compile features absent on the host are fine ('-' prefix)
+    assert "amx-avx512" not in aot_warning_missing_features(benign)
+
+    # non-warning lines are not classified as benign
+    assert aot_warning_missing_features("dryrun: OK") is None
+    assert not _is_benign_aot_line("dryrun: OK")
+    assert not _is_benign_aot_line("")
+
+
+def test_filter_benign_aot_warnings_fd_level():
+    """The filter must intercept C++-style raw writes to fd 2, drop benign
+    AOT warnings, and pass real lines through."""
+    import os
+    import sys
+
+    from focalnet_tpu.utils.cache import filter_benign_aot_warnings
+
+    r, w = os.pipe()
+    saved = os.dup(2)
+    os.dup2(w, 2)
+    os.close(w)
+    try:
+        with filter_benign_aot_warnings():
+            os.write(2, (_AOT_WARN.format(extra="") + "\n").encode())
+            os.write(2, b"real error line\n")
+            os.write(2, (_AOT_WARN.format(extra="+amx-int8,") + "\n").encode())
+    finally:
+        os.dup2(saved, 2)
+        os.close(saved)
+    out = os.read(r, 1 << 20).decode()
+    os.close(r)
+    assert "real error line" in out
+    assert "amx-int8" in out          # real mismatch kept
+    assert out.count("SIGILL") == 1   # benign line dropped
