@@ -279,3 +279,46 @@ def test_filter_benign_aot_warnings_fd_level():
     assert "real error line" in out
     assert "amx-int8" in out          # real mismatch kept
     assert out.count("SIGILL") == 1   # benign line dropped
+
+
+def test_copy_inventory_signatures(tmp_path):
+    """benchmarks/copy_inventory groups data-formatting events by
+    opcode + layout-transition signature with byte accounting."""
+    import gzip
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from benchmarks.copy_inventory import load_events, signature
+
+    ln = ("%copy.1 = f32[4,1,192,16384]{3,2,1,0:T(8,128)} "
+          "copy(f32[4,1,192,16384]{2,3,0,1:T(8,128)} %bitcast.6070)")
+    sig = signature(ln, "copy.1")
+    assert sig == ("copy f32[4,1,192,16384]{3,2,1,0:T(8,128)} "
+                   "<- f32[4,1,192,16384]{2,3,0,1:T(8,128)}")
+    # same transition, different HLO number -> same signature
+    assert signature(ln.replace(".1 ", ".99 ").replace("6070", "1"),
+                     "copy.99") == sig
+
+    meta = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 7, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "python host"}},
+        {"ph": "M", "pid": 9, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+    ]
+    dev = {"ph": "X", "pid": 3, "tid": 7, "ts": 0.0, "dur": 100.0,
+           "name": "copy.1",
+           "args": {"hlo_category": "copy", "bytes_accessed": "1000",
+                    "long_name": ln}}
+    host = dict(dev, pid=9, tid=1)  # host-track twin must be excluded
+    d = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(d)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": meta + [dev, host]}, f)
+    events = load_events(str(tmp_path))
+    assert len(events) == 1 and events[0]["pid"] == 3
